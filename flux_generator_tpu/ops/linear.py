@@ -1,0 +1,105 @@
+"""Functional dense / conv primitives over plain-dict params.
+
+Conventions (TPU-native, not the reference's):
+  - dense kernels are stored (in_features, out_features) so the hot matmul is
+    a plain `x @ w` that XLA tiles straight onto the MXU. HF/torch checkpoints
+    store (out, in); the io.sanitize mappers transpose at load time.
+  - convs are NHWC with HWIO kernels (XLA's native TPU layout). The reference
+    performs the same NCHW->NHWC conversion at load (flux/autoencoder.py:336-345).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtype=jnp.float32):
+    kkey, bkey = jax.random.split(key)
+    scale = 1.0 / (in_features**0.5)
+    p = {
+        "kernel": jax.random.uniform(
+            kkey, (in_features, out_features), dtype, minval=-scale, maxval=scale
+        )
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(
+            bkey, (out_features,), dtype, minval=-scale, maxval=scale
+        )
+    return p
+
+
+def dense(p, x):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def init_conv2d(key, in_ch: int, out_ch: int, kernel_size, bias: bool = True, dtype=jnp.float32):
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    kkey, bkey = jax.random.split(key)
+    fan_in = in_ch * kernel_size[0] * kernel_size[1]
+    scale = 1.0 / (fan_in**0.5)
+    p = {
+        "kernel": jax.random.uniform(
+            kkey, (*kernel_size, in_ch, out_ch), dtype, minval=-scale, maxval=scale
+        )
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (out_ch,), dtype, minval=-scale, maxval=scale)
+    return p
+
+
+def conv2d(p, x, stride=1, padding=0):
+    """x: (B, H, W, C); kernel: (kh, kw, in, out)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv1d(p, x, stride=1, padding=0, groups=1):
+    """x: (B, T, C); kernel: (k, in/groups, out)."""
+    if isinstance(padding, int):
+        padding = ((padding, padding),)
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = (padding,)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose1d(p, x, stride=1):
+    """Transposed 1-D conv (EnCodec upsampling). x: (B, T, C); kernel (k, out, in)
+    stored as (k, in, out) with lhs-dilation trick."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(1,),
+        padding=[(p["kernel"].shape[0] - 1, p["kernel"].shape[0] - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y

@@ -1,0 +1,51 @@
+"""Normalization ops. Statistics accumulate in float32 regardless of the
+activation dtype (TPU bf16 policy), then cast back."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def layer_norm(x, p=None, eps: float = 1e-5):
+    """LayerNorm over the last axis. p may hold optional 'scale'/'bias'."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    y = y.astype(x.dtype)
+    if p is not None:
+        if "scale" in p:
+            y = y * p["scale"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def rms_norm(x, p=None, eps: float = 1e-6, upcast_output: bool = False):
+    """RMSNorm over the last axis (T5/QKNorm style: no mean subtraction)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jnp.reciprocal(jnp.sqrt(ms + eps))
+    if not upcast_output:
+        y = y.astype(x.dtype)
+    if p is not None and "scale" in p:
+        y = y * p["scale"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def group_norm(x, p=None, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over channel-last activations (B, ..., C)."""
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
+    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    y = y.reshape(orig_shape).astype(x.dtype)
+    if p is not None:
+        if "scale" in p:
+            y = y * p["scale"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+    return y

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.ops import (
+    apply_rope,
+    dense,
+    dot_product_attention,
+    group_norm,
+    init_dense,
+    layer_norm,
+    multi_axis_rope,
+    rms_norm,
+    rope_cos_sin,
+    timestep_embedding,
+)
+
+
+def test_dense_shapes(rng):
+    p = init_dense(rng, 8, 16)
+    y = dense(p, jnp.ones((2, 3, 8)))
+    assert y.shape == (2, 3, 16)
+
+
+def test_layer_norm_stats():
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32)) * 3 + 2
+    y = layer_norm(x)
+    np.testing.assert_allclose(np.mean(y, -1), 0, atol=1e-5)
+    np.testing.assert_allclose(np.std(y, -1), 1, atol=1e-2)
+
+
+def test_rms_norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 16))
+    y = rms_norm(x)
+    expect = x / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5)
+
+
+def test_group_norm_shape():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 32))
+    y = group_norm(x, groups=8)
+    assert y.shape == x.shape
+
+
+def test_rope_rotation_preserves_norm():
+    pos = jnp.arange(6, dtype=jnp.float32)[None]  # (1, 6)
+    cos, sin = rope_cos_sin(pos, 8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 2, 8))
+    y = apply_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(y), axis=-1),
+        rtol=1e-5,
+    )
+    # position 0 must be identity
+    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(x[:, 0]), atol=1e-6)
+
+
+def test_multi_axis_rope_dims():
+    ids = jnp.zeros((2, 10, 3))
+    cos, sin = multi_axis_rope(ids, [4, 8, 8])
+    assert cos.shape == (2, 10, 10)  # sum(axes_dim)//2
+    assert sin.shape == (2, 10, 10)
+
+
+def test_timestep_embedding_reference_values():
+    # cross-checked against the reference formula (flux/layers.py:46-57)
+    t = jnp.array([0.5])
+    emb = timestep_embedding(t, 8)
+    half = 4
+    freqs = np.exp(np.arange(half) / half * -np.log(10000))
+    ang = 1000 * 0.5 * freqs
+    expect = np.concatenate([np.cos(ang), np.sin(ang)])
+    np.testing.assert_allclose(np.asarray(emb[0]), expect, atol=1e-4)
+
+
+def test_attention_softmax_rows():
+    q = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 2, 8))
+    k = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 2, 8))
+    out = dot_product_attention(q, k, v)
+    assert out.shape == (1, 4, 2, 8)
+    # value-identity check: constant v -> output equals v
+    vconst = jnp.ones_like(v)
+    np.testing.assert_allclose(
+        np.asarray(dot_product_attention(q, k, vconst)), 1.0, rtol=1e-5
+    )
+
+
+def test_attention_mask():
+    q = jnp.ones((1, 2, 1, 4))
+    k = jnp.ones((1, 3, 1, 4))
+    v = jnp.arange(3, dtype=jnp.float32).reshape(1, 3, 1, 1) * jnp.ones((1, 3, 1, 4))
+    mask = jnp.array([[[[True, False, False], [True, True, False]]]])
+    out = dot_product_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[0, 1, 0]), 0.5, atol=1e-6)
