@@ -1,0 +1,298 @@
+"""Flux MMDiT flow transformer — TPU-native rebuild.
+
+Capability parity with the reference denoiser (flux/model.py:99-136,
+flux/layers.py): double-stream blocks over separate img/txt tokens, then
+single-stream blocks over the concatenated sequence, AdaLN modulation from
+timestep+guidance+CLIP-vector conditioning, multi-axis RoPE.
+
+TPU-first design departures from the reference:
+  - All blocks of a kind are *stacked* along a leading layer axis and executed
+    with `lax.scan`, so XLA compiles one block body regardless of depth
+    (19 double + 38 single at full size) — O(1) compile time and identical
+    per-layer fusion.
+  - RoPE is carried as cos/sin tables (see ops/rope.py) rather than 2x2
+    rotation matrices; attention runs in (B, L, H, D) layout with f32 softmax.
+  - Params are plain nested dicts (pytrees): trivially shardable with GSPMD
+    (parallel/sharding.py puts qkv/linear1 column-parallel and proj/linear2
+    row-parallel on the "model" mesh axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import dot_product_attention
+from ...ops.embeddings import timestep_embedding
+from ...ops.linear import dense, init_dense
+from ...ops.norms import layer_norm, rms_norm
+from ...ops.rope import apply_rope, multi_axis_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64
+    vec_in_dim: int = 768
+    context_in_dim: int = 4096
+    hidden_size: int = 3072
+    mlp_ratio: float = 4.0
+    num_heads: int = 24
+    depth: int = 19
+    depth_single_blocks: int = 38
+    axes_dim: Sequence[int] = (16, 56, 56)
+    theta: int = 10000
+    qkv_bias: bool = True
+    guidance_embed: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_heads:
+            raise ValueError("hidden_size must be divisible by num_heads")
+        if sum(self.axes_dim) != self.head_dim:
+            raise ValueError(f"axes_dim {self.axes_dim} != head dim {self.head_dim}")
+
+
+def tiny_flux_config(**overrides) -> FluxConfig:
+    """A CPU-testable configuration."""
+    base = dict(
+        in_channels=16,
+        vec_in_dim=24,
+        context_in_dim=32,
+        hidden_size=64,
+        mlp_ratio=2.0,
+        num_heads=4,
+        depth=2,
+        depth_single_blocks=2,
+        axes_dim=(4, 6, 6),
+        qkv_bias=True,
+        guidance_embed=False,
+    )
+    base.update(overrides)
+    return FluxConfig(**base)
+
+
+# ---------------------------------------------------------------- init
+
+
+def _init_mlp_embedder(key, in_dim, hidden, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_layer": init_dense(k1, in_dim, hidden, dtype=dtype),
+        "out_layer": init_dense(k2, hidden, hidden, dtype=dtype),
+    }
+
+
+def _init_double_block(key, cfg: FluxConfig, dtype):
+    ks = jax.random.split(key, 10)
+    h, mlp, hd = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    def attn(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "qkv": init_dense(k1, h, 3 * h, bias=cfg.qkv_bias, dtype=dtype),
+            "q_norm": {"scale": jnp.ones((hd,), dtype)},
+            "k_norm": {"scale": jnp.ones((hd,), dtype)},
+            "proj": init_dense(k2, h, h, dtype=dtype),
+        }
+    def mlp_p(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "in": init_dense(k1, h, mlp, dtype=dtype),
+            "out": init_dense(k2, mlp, h, dtype=dtype),
+        }
+    return {
+        "img_mod": init_dense(ks[0], h, 6 * h, dtype=dtype),
+        "txt_mod": init_dense(ks[1], h, 6 * h, dtype=dtype),
+        "img_attn": attn(ks[2]),
+        "txt_attn": attn(ks[3]),
+        "img_mlp": mlp_p(ks[4]),
+        "txt_mlp": mlp_p(ks[5]),
+    }
+
+
+def _init_single_block(key, cfg: FluxConfig, dtype):
+    ks = jax.random.split(key, 3)
+    h, mlp, hd = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    return {
+        "linear1": init_dense(ks[0], h, 3 * h + mlp, dtype=dtype),
+        "linear2": init_dense(ks[1], h + mlp, h, dtype=dtype),
+        "q_norm": {"scale": jnp.ones((hd,), dtype)},
+        "k_norm": {"scale": jnp.ones((hd,), dtype)},
+        "modulation": init_dense(ks[2], h, 3 * h, dtype=dtype),
+    }
+
+
+def init_flux(key, cfg: FluxConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    h = cfg.hidden_size
+    params = {
+        "img_in": init_dense(ks[0], cfg.in_channels, h, dtype=dtype),
+        "txt_in": init_dense(ks[1], cfg.context_in_dim, h, dtype=dtype),
+        "time_in": _init_mlp_embedder(ks[2], 256, h, dtype),
+        "vector_in": _init_mlp_embedder(ks[3], cfg.vec_in_dim, h, dtype),
+        "double_blocks": jax.vmap(
+            lambda k: _init_double_block(k, cfg, dtype)
+        )(jax.random.split(ks[4], cfg.depth)),
+        "single_blocks": jax.vmap(
+            lambda k: _init_single_block(k, cfg, dtype)
+        )(jax.random.split(ks[5], cfg.depth_single_blocks)),
+        "final_layer": {
+            "linear": init_dense(ks[6], h, cfg.in_channels, dtype=dtype),
+            "adaLN": init_dense(ks[7], h, 2 * h, dtype=dtype),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = _init_mlp_embedder(
+            jax.random.fold_in(key, 99), 256, h, dtype
+        )
+    return params
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _mlp_embedder(p, x):
+    return dense(p["out_layer"], jax.nn.silu(dense(p["in_layer"], x)))
+
+
+def _modulation(p, vec, n: int):
+    """silu(vec) → linear → n chunks of (shift, scale, gate) triples."""
+    m = dense(p, jax.nn.silu(vec))[:, None, :]  # (B, 1, n*3*h)
+    return jnp.split(m, 3 * n, axis=-1)
+
+
+def _qkv_heads(x, num_heads):
+    b, l, _ = x.shape
+    return x.reshape(b, l, num_heads, -1)
+
+
+def _attn_qkv(p, x, num_heads):
+    """qkv projection → (q, k, v) each (B, L, H, D) with QK-RMSNorm."""
+    qkv = dense(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = rms_norm(_qkv_heads(q, num_heads), p["q_norm"])
+    k = rms_norm(_qkv_heads(k, num_heads), p["k_norm"])
+    return q, k, _qkv_heads(v, num_heads)
+
+
+def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig):
+    b, l, h = img.shape
+    s = txt.shape[1]
+
+    i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = _modulation(
+        p["img_mod"], vec, 2
+    )
+    t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = _modulation(
+        p["txt_mod"], vec, 2
+    )
+
+    img_mod = (1 + i_scale) * layer_norm(img, eps=1e-6) + i_shift
+    txt_mod = (1 + t_scale) * layer_norm(txt, eps=1e-6) + t_shift
+
+    iq, ik, iv = _attn_qkv(p["img_attn"], img_mod, cfg.num_heads)
+    tq, tk, tv = _attn_qkv(p["txt_attn"], txt_mod, cfg.num_heads)
+
+    # unified attention over concat(txt, img) — reference order
+    q = jnp.concatenate([tq, iq], axis=1)
+    k = jnp.concatenate([tk, ik], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = dot_product_attention(q, k, v).reshape(b, s + l, h)
+    txt_attn, img_attn = attn[:, :s], attn[:, s:]
+
+    img = img + i_gate * dense(p["img_attn"]["proj"], img_attn)
+    img_mlp_in = (1 + i_scale2) * layer_norm(img, eps=1e-6) + i_shift2
+    img = img + i_gate2 * dense(
+        p["img_mlp"]["out"],
+        jax.nn.gelu(dense(p["img_mlp"]["in"], img_mlp_in), approximate=True),
+    )
+
+    txt = txt + t_gate * dense(p["txt_attn"]["proj"], txt_attn)
+    txt_mlp_in = (1 + t_scale2) * layer_norm(txt, eps=1e-6) + t_shift2
+    txt = txt + t_gate2 * dense(
+        p["txt_mlp"]["out"],
+        jax.nn.gelu(dense(p["txt_mlp"]["in"], txt_mlp_in), approximate=True),
+    )
+    return img, txt
+
+
+def _single_block(p, x, vec, cos, sin, cfg: FluxConfig):
+    b, l, h = x.shape
+    shift, scale, gate = _modulation(p["modulation"], vec, 1)
+    x_mod = (1 + scale) * layer_norm(x, eps=1e-6) + shift
+
+    proj = dense(p["linear1"], x_mod)
+    qkv, mlp = proj[..., : 3 * h], proj[..., 3 * h :]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = rms_norm(_qkv_heads(q, cfg.num_heads), p["q_norm"])
+    k = rms_norm(_qkv_heads(k, cfg.num_heads), p["k_norm"])
+    v = _qkv_heads(v, cfg.num_heads)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = dot_product_attention(q, k, v).reshape(b, l, h)
+
+    y = dense(
+        p["linear2"],
+        jnp.concatenate([attn, jax.nn.gelu(mlp, approximate=True)], axis=-1),
+    )
+    return x + gate * y
+
+
+def flux_forward(
+    params,
+    cfg: FluxConfig,
+    img,
+    img_ids,
+    txt,
+    txt_ids,
+    timesteps,
+    y,
+    guidance: Optional[jax.Array] = None,
+):
+    """img: (B, L_img, in_channels) packed 2x2 latent patches; txt: (B, L_txt,
+    context_in_dim) T5 features; y: (B, vec_in_dim) pooled CLIP; timesteps,
+    guidance: (B,). Returns (B, L_img, in_channels)."""
+    dtype = img.dtype
+    img = dense(params["img_in"], img)
+    vec = _mlp_embedder(params["time_in"], timestep_embedding(timesteps, 256))
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("guidance-distilled model needs a guidance strength")
+        vec = vec + _mlp_embedder(
+            params["guidance_in"], timestep_embedding(guidance, 256)
+        )
+    vec = vec + _mlp_embedder(params["vector_in"], y)
+    txt = dense(params["txt_in"], txt)
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=1)
+    cos, sin = multi_axis_rope(ids, list(cfg.axes_dim), float(cfg.theta))
+    cos, sin = cos.astype(dtype), sin.astype(dtype)
+
+    def dbl(carry, p):
+        i, t = _double_block(p, carry[0], carry[1], vec, cos, sin, cfg)
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def sgl(carry, p):
+        return _single_block(p, carry, vec, cos, sin, cfg), None
+
+    x, _ = jax.lax.scan(sgl, x, params["single_blocks"])
+    img = x[:, txt.shape[1] :]
+
+    fl = params["final_layer"]
+    shift, scale = jnp.split(dense(fl["adaLN"], jax.nn.silu(vec)), 2, axis=-1)
+    img = (1 + scale[:, None]) * layer_norm(img, eps=1e-6) + shift[:, None]
+    return dense(fl["linear"], img)

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux_generator_tpu.models.flux.autoencoder import (
+    decode,
+    encode,
+    init_autoencoder,
+    tiny_ae_config,
+)
+from flux_generator_tpu.models.flux.model import (
+    flux_forward,
+    init_flux,
+    tiny_flux_config,
+)
+from flux_generator_tpu.models.flux.sampler import (
+    add_noise,
+    flux_step,
+    flux_timesteps,
+)
+
+
+def _flux_inputs(cfg, b=2, l_img=8, l_txt=4):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    img = jax.random.normal(ks[0], (b, l_img, cfg.in_channels))
+    img_ids = jnp.zeros((b, l_img, 3), jnp.int32)
+    txt = jax.random.normal(ks[1], (b, l_txt, cfg.context_in_dim))
+    txt_ids = jnp.zeros((b, l_txt, 3), jnp.int32)
+    t = jnp.full((b,), 0.5)
+    y = jax.random.normal(ks[2], (b, cfg.vec_in_dim))
+    return img, img_ids, txt, txt_ids, t, y
+
+
+def test_flux_forward_shape():
+    cfg = tiny_flux_config()
+    params = init_flux(jax.random.PRNGKey(1), cfg)
+    img, img_ids, txt, txt_ids, t, y = _flux_inputs(cfg)
+    out = flux_forward(params, cfg, img, img_ids, txt, txt_ids, t, y)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux_guidance_embed():
+    cfg = tiny_flux_config(guidance_embed=True)
+    params = init_flux(jax.random.PRNGKey(1), cfg)
+    img, img_ids, txt, txt_ids, t, y = _flux_inputs(cfg)
+    g = jnp.full((img.shape[0],), 4.0)
+    out = flux_forward(params, cfg, img, img_ids, txt, txt_ids, t, y, guidance=g)
+    assert out.shape == img.shape
+
+
+def test_flux_jit_compiles():
+    cfg = tiny_flux_config()
+    params = init_flux(jax.random.PRNGKey(1), cfg)
+    inputs = _flux_inputs(cfg)
+    f = jax.jit(lambda p, *a: flux_forward(p, cfg, *a))
+    out = f(params, *inputs)
+    assert out.shape == inputs[0].shape
+
+
+def test_flux_timesteps_schnell_linear():
+    ts = flux_timesteps(4, 256, schnell=True)
+    np.testing.assert_allclose(ts, [1.0, 0.75, 0.5, 0.25, 0.0], atol=1e-7)
+
+
+def test_flux_timesteps_dev_shifted():
+    ts = flux_timesteps(4, 4096, schnell=False)
+    assert ts[0] == 1.0 and abs(ts[-1]) < 1e-9
+    # dev shift pushes mass toward t=1
+    assert ts[2] > 0.5
+
+
+def test_flux_euler_step():
+    x = jnp.ones((1, 4))
+    pred = jnp.full((1, 4), 2.0)
+    out = flux_step(pred, x, t=1.0, t_prev=0.75)
+    np.testing.assert_allclose(np.asarray(out), 1 + (0.75 - 1) * 2.0)
+
+
+def test_add_noise_endpoints():
+    x = jnp.ones((2, 3))
+    noise = jnp.zeros((2, 3))
+    np.testing.assert_allclose(
+        np.asarray(add_noise(x, jnp.array([0.0, 1.0]), noise)),
+        [[1, 1, 1], [0, 0, 0]],
+    )
+
+
+def test_ae_roundtrip_shapes():
+    cfg = tiny_ae_config()
+    params = init_autoencoder(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 3))
+    z = encode(params, cfg, x)
+    assert z.shape == (1, 8, 8, cfg.z_channels)  # /2 per extra ch_mult level
+    y = decode(params, cfg, z)
+    assert y.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
