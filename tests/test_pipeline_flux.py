@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.pipelines.flux import (
+    FluxPipeline,
+    latent_ids,
+    pack_latents,
+    unpack_latents,
+)
+
+
+def test_pack_unpack_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    packed = pack_latents(x)
+    assert packed.shape == (2, 16, 16)
+    np.testing.assert_allclose(np.asarray(unpack_latents(packed, 8, 8)), np.asarray(x))
+
+
+def test_latent_ids_layout():
+    ids = latent_ids(1, 8, 8)
+    assert ids.shape == (1, 16, 3)
+    assert (np.asarray(ids[0, :, 0]) == 0).all()
+    # row-major: second patch is (row 0, col 1)
+    assert np.asarray(ids[0, 1]).tolist() == [0, 0, 1]
+    assert np.asarray(ids[0, 4]).tolist() == [0, 1, 0]
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return FluxPipeline.random_init("flux-schnell", tiny=True, dtype=jnp.float32)
+
+
+def test_denoise_latents_shapes(pipe):
+    b, h, w = 1, 8, 8
+    zc = pipe.ae_cfg.z_channels
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, zc), jnp.float32)
+    x_t = pack_latents(x)
+    x_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (b, 4, pipe.flow_cfg.context_in_dim), jnp.float32)
+    txt_ids = jnp.zeros((b, 4, 3), jnp.int32)
+    vec = jax.random.normal(jax.random.PRNGKey(3), (b, pipe.flow_cfg.vec_in_dim), jnp.float32)
+    out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, num_steps=2, guidance=4.0)
+    assert out.shape == x_t.shape
+    assert np.isfinite(np.asarray(out)).all()
+    img = pipe.decode(out, (h, w))
+    assert img.shape == (b, h * 8 // 4, w * 8 // 4, 3)  # tiny AE has 1 downsample
+    assert (np.asarray(img) >= 0).all() and (np.asarray(img) <= 1).all()
+
+
+def test_fused_matches_stepwise(pipe):
+    """One-scan denoise must equal per-step denoise (same math, no resample)."""
+    b, h, w = 1, 4, 4
+    zc = pipe.ae_cfg.z_channels
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, zc), jnp.float32)
+    x_t = pack_latents(x)
+    x_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (b, 4, pipe.flow_cfg.context_in_dim), jnp.float32)
+    txt_ids = jnp.zeros((b, 4, 3), jnp.int32)
+    vec = jax.random.normal(jax.random.PRNGKey(3), (b, pipe.flow_cfg.vec_in_dim), jnp.float32)
+
+    fused = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, 3, 4.0)
+
+    ts = pipe.timesteps(3, x_t.shape[1])
+    x_step = x_t
+    for i in range(3):
+        x_step = pipe._step(
+            pipe.params["flow"], x_step, x_ids, txt, txt_ids, vec,
+            jnp.asarray(ts[i], jnp.float32), jnp.asarray(ts[i + 1], jnp.float32),
+            jnp.asarray(4.0, jnp.float32),
+        )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(x_step), atol=1e-5)
+
+
+def test_training_loss_finite_and_differentiable(pipe):
+    b, h, w = 2, 4, 4
+    zc = pipe.ae_cfg.z_channels
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (b, h, w, zc), jnp.float32)
+    t5f = jax.random.normal(jax.random.PRNGKey(5), (b, 4, pipe.flow_cfg.context_in_dim), jnp.float32)
+    clipf = jax.random.normal(jax.random.PRNGKey(6), (b, pipe.flow_cfg.vec_in_dim), jnp.float32)
+
+    def loss_fn(fp):
+        return pipe.training_loss(fp, jax.random.PRNGKey(7), x0, t5f, clipf, None)
+
+    loss, grads = jax.value_and_grad(loss_fn)(pipe.params["flow"])
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(l.astype(jnp.float32) ** 2)), grads, 0.0
+    )
+    assert gnorm > 0
