@@ -1,0 +1,95 @@
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.pipelines.sd import StableDiffusion, StableDiffusionXL
+
+
+class _FakeTokenizer:
+    def tokenize(self, text):
+        toks = [1] + [min(60, 3 + ord(c) % 50) for c in text[:6]] + [63]
+        return toks
+
+
+@pytest.fixture(scope="module")
+def sd():
+    pipe = StableDiffusion.random_init(tiny=True)
+    pipe.tokenizers = [_FakeTokenizer()]
+    return pipe
+
+
+@pytest.fixture(scope="module")
+def sdxl():
+    pipe = StableDiffusionXL.random_init(tiny=True)
+    pipe.tokenizers = [_FakeTokenizer(), _FakeTokenizer()]
+    return pipe
+
+
+def test_sd_generate_latents(sd):
+    latents = list(sd.generate_latents("a cat", num_steps=2, latent_size=(8, 8), seed=7))
+    assert len(latents) == 2
+    assert latents[-1].shape == (1, 8, 8, 4)
+    img = sd.decode(latents[-1])
+    assert img.shape == (1, 16, 16, 3)
+    assert (np.asarray(img) >= 0).all() and (np.asarray(img) <= 1).all()
+
+
+def test_sd_seed_reproducible(sd):
+    a = list(sd.generate_latents("a cat", num_steps=1, latent_size=(8, 8), seed=3))[-1]
+    b = list(sd.generate_latents("a cat", num_steps=1, latent_size=(8, 8), seed=3))[-1]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sd_cfg_changes_output(sd):
+    a = list(sd.generate_latents("a cat", num_steps=1, cfg_weight=7.5, latent_size=(8, 8), seed=3))[-1]
+    b = list(sd.generate_latents("a cat", num_steps=1, cfg_weight=0.0, latent_size=(8, 8), seed=3))[-1]
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_sd_fused_denoise_matches_generator(sd):
+    cond = sd.get_text_conditioning("a cat", 1, 0.0, "")
+    key = jax.random.PRNGKey(11)
+    from flux_generator_tpu.models.sd import sampler as smp
+
+    k_prior, k_steps = jax.random.split(key)
+    x_T = smp.sample_prior(k_prior, sd.sigmas, (1, 8, 8, 4), sd.dtype)
+    fused = sd._denoise(
+        sd.params["unet"], x_T,
+        jnp.asarray(smp.timesteps(sd.sigmas, 2), jnp.float32),
+        cond, jnp.asarray(0.0, jnp.float32), k_steps, cfg_on=False,
+    )
+    ts = smp.timesteps(sd.sigmas, 2)
+    x = x_T
+    for i in range(2):
+        x = sd._step(
+            sd.params["unet"], x, jnp.asarray(ts[i]), jnp.asarray(ts[i + 1]),
+            cond, jnp.asarray(0.0, jnp.float32), jax.random.fold_in(k_steps, i), False, None,
+        )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(x), atol=1e-5)
+
+
+def test_sd_img2img(sd):
+    img = jnp.zeros((16, 16, 3))
+    latents = list(
+        sd.generate_latents_from_image(img, "a cat", strength=0.5, num_steps=4, seed=5)
+    )
+    assert len(latents) == 2  # int(4 * 0.5)
+    assert latents[-1].shape == (1, 8, 8, 4)
+
+
+def test_sdxl_generate(sdxl):
+    latents = list(
+        sdxl.generate_latents("a cat", num_steps=2, cfg_weight=0.0, latent_size=(8, 8), seed=1)
+    )
+    assert len(latents) == 2
+    img = sdxl.decode(latents[-1])
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_sdxl_conditioning_shapes(sdxl):
+    cond, pooled = sdxl.get_text_conditioning("hi", 2, 0.0, "")
+    assert cond.shape[0] == 2 and cond.shape[-1] == 16  # concat of two 8-dim encoders
+    assert pooled.shape == (2, 8)
