@@ -1,0 +1,107 @@
+"""MusicGen text-to-music pipeline — TPU-native.
+
+Parity with musicgen/musicgen.py MusicGen.generate: T5-encode the prompt,
+project into the decoder width, run the delay-pattern AR loop with CFG and
+top-k sampling, then EnCodec-decode to a waveform. The AR loop is one jitted
+on-device scan (see models/musicgen/model.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.musicgen import model as mg
+from ..models.musicgen.encodec import EncodecModel, tiny_encodec_config
+from ..models.t5.t5 import T5Config, init_t5_encoder, t5_encode, tiny_t5_config
+
+
+class MusicGenPipeline:
+    def __init__(
+        self,
+        cfg: mg.MusicGenConfig,
+        params: dict,
+        t5_cfg: T5Config,
+        t5_params: dict,
+        audio_decoder: EncodecModel,
+        tokenizer=None,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.t5_cfg = t5_cfg
+        self.t5_params = t5_params
+        self.audio_decoder = audio_decoder
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.sampling_rate = audio_decoder.cfg.sampling_rate
+
+        self._encode_text = jax.jit(
+            lambda tp, p, toks: mg.condition_text(
+                p, t5_encode(tp, self.t5_cfg, toks).astype(self.dtype)
+            )
+        )
+        self._generate = jax.jit(
+            lambda p, cond, key, max_steps, top_k, temp, guidance: mg.generate(
+                p, self.cfg, cond, max_steps, top_k, temp, guidance, key
+            ),
+            static_argnums=(3, 4),
+        )
+
+    @classmethod
+    def random_init(cls, key=None, tiny: bool = True, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if not tiny:
+            raise NotImplementedError("full-size random init: use from_pretrained")
+        cfg = mg.tiny_musicgen_config()
+        t5_cfg = tiny_t5_config(d_model=cfg.text_d_model)
+        # tiny codec frame_rate is 100 → bandwidth K gives K quantizers,
+        # matching the decoder's num_codebooks
+        enc_cfg = tiny_encodec_config(
+            codebook_size=cfg.codebook_size,
+            target_bandwidths=(float(cfg.num_codebooks),),
+        )
+        ks = jax.random.split(key, 3)
+        return cls(
+            cfg,
+            mg.init_musicgen(ks[0], cfg, dtype),
+            t5_cfg,
+            init_t5_encoder(ks[1], t5_cfg, dtype),
+            EncodecModel.random_init(enc_cfg, ks[2], dtype),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def from_pretrained(cls, repo: str = "facebook/musicgen-medium", dtype=jnp.bfloat16):
+        from ..io.loaders import load_musicgen_pipeline
+
+        return load_musicgen_pipeline(repo, dtype=dtype)
+
+    def conditioning(self, text: str):
+        if self.tokenizer is None:
+            raise RuntimeError("pipeline built without a tokenizer")
+        tokens = jnp.array(self.tokenizer.encode(text, pad=False))
+        return self._encode_text(self.t5_params, self.params, tokens)
+
+    def generate(
+        self,
+        text: str,
+        max_steps: int = 200,
+        top_k: int = 250,
+        temp: float = 1.0,
+        guidance_coef: float = 3.0,
+        seed: Optional[int] = None,
+        conditioning=None,
+    ):
+        """Returns a waveform (T, C) float array in [-1, 1]."""
+        if conditioning is None:
+            conditioning = self.conditioning(text)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        codes = self._generate(
+            self.params, conditioning, key, int(max_steps), int(top_k),
+            float(temp), float(guidance_coef),
+        )
+        audio = self.audio_decoder.decode(codes[None], [None])
+        return audio[0]

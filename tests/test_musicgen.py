@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.models.musicgen import model as mg
+from flux_generator_tpu.models.musicgen.encodec import (
+    EncodecModel,
+    encoder_spec,
+    decoder_spec,
+    lstm_forward,
+    preprocess_audio,
+    rvq_decode,
+    rvq_encode,
+    tiny_encodec_config,
+)
+from flux_generator_tpu.pipelines.musicgen import MusicGenPipeline
+
+
+# ------------------------------------------------------------ encodec
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return EncodecModel.random_init()
+
+
+def test_encodec_specs_shapes():
+    cfg = tiny_encodec_config()
+    enc = encoder_spec(cfg)
+    dec = decoder_spec(cfg)
+    assert enc[0][0] == "conv" and dec[-1][0] == "conv"
+    assert any(e[0] == "lstm" for e in enc)
+    assert any(e[0] == "convtr" for e in dec)
+
+
+def test_encodec_roundtrip_shapes(codec):
+    cfg = codec.cfg
+    t = cfg.hop_length * 10
+    audio = jax.random.normal(jax.random.PRNGKey(0), (1, t, 1)) * 0.1
+    frames, scales = codec.encode(audio)
+    assert frames.shape[0] == 1  # one chunk
+    nq = frames.shape[2]
+    assert nq >= 1
+    assert frames.shape[3] == 10  # t / hop
+    out = codec.decode(frames, scales)
+    assert out.shape[0] == 1 and out.shape[2] == 1
+    assert abs(out.shape[1] - t) <= cfg.hop_length
+
+
+def test_rvq_reduces_residual(codec):
+    """Each RVQ stage must reduce reconstruction error."""
+    q = codec.params["quantizer"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 7, codec.cfg.codebook_dim))
+    errs = []
+    for nq in range(1, len(q) + 1):
+        codes = rvq_encode(q, x, nq)
+        rec = rvq_decode(q, codes)
+        errs.append(float(jnp.mean((x - rec) ** 2)))
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:]))
+
+
+def test_lstm_matches_manual():
+    """lax.scan LSTM vs a hand-rolled python loop."""
+    key = jax.random.PRNGKey(2)
+    d = 4
+    p = {
+        "wx": jax.random.normal(key, (d, 4 * d)) * 0.3,
+        "wh": jax.random.normal(jax.random.fold_in(key, 1), (d, 4 * d)) * 0.3,
+        "bias": jax.random.normal(jax.random.fold_in(key, 2), (4 * d,)) * 0.1,
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 3), (1, 5, d))
+    out = lstm_forward(p, x)
+
+    h = np.zeros((1, d)); c = np.zeros((1, d))
+    xs = np.asarray(x); wx = np.asarray(p["wx"]); wh = np.asarray(p["wh"]); b = np.asarray(p["bias"])
+    def sig(v): return 1 / (1 + np.exp(-v))
+    outs = []
+    for t in range(5):
+        g = xs[:, t] @ wx + b + h @ wh
+        i, f, gg, o = np.split(g, 4, axis=-1)
+        c = sig(f) * c + sig(i) * np.tanh(gg)
+        h = sig(o) * np.tanh(c)
+        outs.append(h)
+    np.testing.assert_allclose(np.asarray(out[0]), np.concatenate(outs), atol=1e-5)
+
+
+def test_preprocess_audio_padding():
+    x = np.ones(100, np.float32)
+    inputs, mask = preprocess_audio([x], chunk_length=64, chunk_stride=32)
+    assert inputs.shape[1] % 32 == 0
+    assert mask[0, :100].all() and not mask[0, 100:].any()
+
+
+# ------------------------------------------------------------ decoder
+
+
+@pytest.fixture(scope="module")
+def musicgen():
+    return MusicGenPipeline.random_init()
+
+
+def test_decode_step_shapes(musicgen):
+    cfg = musicgen.cfg
+    p = musicgen.params
+    cond = jax.random.normal(jax.random.PRNGKey(0), (2, 3, cfg.hidden_size))
+    cross_kv = mg.precompute_cross_kv(p, cfg, cond)
+    kc, vc = mg.init_kv_cache(cfg, 2, 8, jnp.float32)
+    toks = jnp.full((2, 1, cfg.num_codebooks), cfg.bos_token_id)
+    logits, kc, vc = mg.decode_step(p, cfg, toks, cross_kv, kc, vc, jnp.asarray(0))
+    assert logits.shape == (2, 1, cfg.codebook_size, cfg.num_codebooks)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_generate_codes_no_bos_leak(musicgen):
+    """After delay-undo every emitted code must be a sampled token, never BOS
+    — this checks the delay-pattern index arithmetic end to end."""
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    max_steps = 12
+    codes = mg.generate(musicgen.params, cfg, cond, max_steps=max_steps, top_k=4,
+                        key=jax.random.PRNGKey(3))
+    assert codes.shape == (1, cfg.num_codebooks, max_steps - cfg.num_codebooks + 1)
+    arr = np.asarray(codes)
+    assert (arr >= 0).all() and (arr < cfg.codebook_size).all()
+
+
+def test_generate_deterministic_per_seed(musicgen):
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    a = mg.generate(musicgen.params, cfg, cond, 8, 4, key=jax.random.PRNGKey(5))
+    b = mg.generate(musicgen.params, cfg, cond, 8, 4, key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_generate_waveform(musicgen):
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    audio = musicgen.generate("", max_steps=10, top_k=4, seed=0, conditioning=cond)
+    n_frames = 10 - cfg.num_codebooks + 1
+    assert audio.shape[0] == n_frames * musicgen.audio_decoder.cfg.hop_length
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_top_k_sample_respects_k():
+    logits = jnp.array([[10.0, 5.0, 1.0, -3.0]] * 2).T  # (V=4, K=2)
+    for seed in range(10):
+        s = mg.top_k_sample(jax.random.PRNGKey(seed), logits, top_k=2, temperature=1.0)
+        assert (np.asarray(s) < 2).all()
