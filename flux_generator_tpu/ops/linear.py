@@ -31,6 +31,10 @@ def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtyp
 
 def dense(p, x):
     y = x @ p["kernel"].astype(x.dtype)
+    if "lora_a" in p:
+        # LoRA low-rank update (flux/lora.py semantics, scale=1):
+        # y += (x @ A) @ B. Kept separate so XLA fuses the small matmuls.
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
