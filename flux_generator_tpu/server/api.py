@@ -1,0 +1,315 @@
+"""FluxAPI facade — unified backend for the REST API, web UI, and tests.
+
+Parity with flux_app.py:64-294 (lazy pipeline init + model-switch cache,
+latent-size calc, per-model default steps/guidance, base64 PNG output,
+A1111 model/options payloads) with two deliberate fixes the survey calls out:
+  - images are returned WITH the "data:image/png;base64," prefix (the
+    reference's own tests expect it while its code returns bare base64 —
+    SURVEY §4 quirks);
+  - /sdapi/v1/progress is a real tracker (the reference stubs it,
+    flux_app.py:280-294), and generation holds a lock (the reference's REST
+    path is unguarded, SURVEY §5 race note).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import threading
+import time
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from .schemas import SDAPIRequest, SDAPIResponse
+
+
+def to_latent_size(size: Tuple[int, int]) -> Tuple[int, int]:
+    """16-px snap then /8 (flux_app.py:333-345). Also the compile-cache
+    bucketing knob: fewer distinct sizes → fewer XLA executables."""
+    h, w = size
+    h = ((h + 15) // 16) * 16
+    w = ((w + 15) // 16) * 16
+    if (h, w) != size:
+        print(
+            "Warning: The image dimensions need to be divisible by 16px. "
+            f"Changing size to {h}x{w}."
+        )
+    return (h // 8, w // 8)
+
+
+class ProgressTracker:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.reset()
+
+    def reset(self):
+        with self._lock:
+            self.job = ""
+            self.total_steps = 0
+            self.done_steps = 0
+            self.started = None
+            self.interrupted = False
+
+    def start(self, job: str, total_steps: int):
+        with self._lock:
+            self.job = job
+            self.total_steps = total_steps
+            self.done_steps = 0
+            self.started = time.time()
+
+    def step(self, n: int = 1):
+        with self._lock:
+            self.done_steps += n
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            frac = self.done_steps / self.total_steps if self.total_steps else 0.0
+            eta = 0.0
+            if self.started and 0 < frac < 1:
+                elapsed = time.time() - self.started
+                eta = elapsed / frac * (1 - frac)
+            active = bool(self.job) and frac < 1
+            return {
+                "progress": round(frac, 4),
+                "eta_relative": round(eta, 2),
+                "state": {
+                    "skipped": False,
+                    "interrupted": self.interrupted,
+                    "job": self.job if active else "",
+                    "job_count": 1 if active else 0,
+                    "job_timestamp": time.strftime(
+                        "%Y%m%d%H%M%S", time.localtime(self.started)
+                    )
+                    if self.started
+                    else "",
+                },
+                "current_image": None,
+                "textinfo": f"Step {self.done_steps}/{self.total_steps}"
+                if active
+                else "Idle",
+            }
+
+
+class FluxAPI:
+    """Unified API for the UI and external A1111-style calls."""
+
+    def __init__(self, pipeline_factory=None, sd_factory=None):
+        self.pipeline = None
+        self.sd_pipeline = None
+        self.current_model = None
+        self.progress = ProgressTracker()
+        self._gen_lock = threading.Lock()
+        self._pipeline_factory = pipeline_factory
+        self._sd_factory = sd_factory
+        self.music_pipeline = None
+        self._music_factory = None
+
+    # -------------------------------------------------- pipeline cache
+
+    def init_pipeline(self, model: str):
+        """One flux slot + one sd slot, keyed by model name
+        (flux_app.py:71-88)."""
+        if model.startswith("stabilityai/"):
+            if self.sd_pipeline is None or self.current_model != model:
+                if self._sd_factory is not None:
+                    self.sd_pipeline = self._sd_factory(model)
+                else:
+                    from ..pipelines.sd import StableDiffusion, StableDiffusionXL
+
+                    cls = StableDiffusionXL if "sdxl-turbo" in model else StableDiffusion
+                    self.sd_pipeline = cls.from_pretrained(model)
+                self.current_model = model
+            return self.sd_pipeline
+        flux_model = model if model.startswith("flux-") else f"flux-{model}"
+        if self.pipeline is None or self.current_model != flux_model:
+            if self._pipeline_factory is not None:
+                self.pipeline = self._pipeline_factory(flux_model)
+            else:
+                from ..pipelines.flux import FluxPipeline
+
+                self.pipeline = FluxPipeline.from_pretrained(flux_model)
+            self.current_model = flux_model
+        return self.pipeline
+
+    def init_music_pipeline(self):
+        """MusicGen slot — cached, unlike the reference which reloads per
+        click (flux_app.py:471, SURVEY appendix)."""
+        if self.music_pipeline is None:
+            if self._music_factory is not None:
+                self.music_pipeline = self._music_factory()
+            else:
+                from ..pipelines.musicgen import MusicGenPipeline
+
+                self.music_pipeline = MusicGenPipeline.from_pretrained()
+        return self.music_pipeline
+
+    # -------------------------------------------------- txt2img
+
+    def txt2img(self, request: SDAPIRequest) -> SDAPIResponse:
+        images = self.generate_images(
+            prompt=request.prompt,
+            model=request.model,
+            width=request.width,
+            height=request.height,
+            steps=request.steps,
+            guidance=request.cfg_scale,
+            negative_prompt=request.negative_prompt or "",
+            seed=request.seed if request.seed >= 0 else None,
+            batch_size=request.batch_size,
+            n_iter=request.n_iter,
+            return_pil=False,
+        )
+        return SDAPIResponse(
+            images=images,
+            parameters={
+                "prompt": request.prompt,
+                "negative_prompt": request.negative_prompt,
+                "width": request.width,
+                "height": request.height,
+                "steps": request.steps,
+                "cfg_scale": request.cfg_scale,
+                "seed": request.seed,
+                "model": request.model,
+            },
+            info=f"Generated with Flux {request.model} model",
+        )
+
+    def generate_images(
+        self,
+        prompt: str,
+        model: str = "schnell",
+        width: int = 512,
+        height: int = 512,
+        steps: Optional[int] = None,
+        guidance: float = 4.0,
+        negative_prompt: str = "",
+        seed: Optional[int] = None,
+        batch_size: int = 1,
+        n_iter: int = 1,
+        return_pil: bool = False,
+    ) -> List[Union[str, object]]:
+        with self._gen_lock:
+            pipeline = self.init_pipeline(model)
+            latent_size = to_latent_size((height, width))
+            n_images = batch_size * n_iter
+
+            if model.startswith("stabilityai/"):
+                steps = steps or (2 if "sdxl-turbo" in model else 50)
+                guidance = 0.0 if ("sdxl-turbo" in model and guidance == 4.0) else guidance
+                self.progress.start(f"txt2img:{model}", steps + n_images)
+                latents = pipeline.generate_latents(
+                    prompt,
+                    n_images=n_images,
+                    cfg_weight=guidance,
+                    num_steps=steps,
+                    negative_text=negative_prompt,
+                    latent_size=latent_size,
+                    seed=seed,
+                )
+            else:
+                steps = steps or (50 if model in ("flux-dev", "dev") else 2)
+                self.progress.start(f"txt2img:{model}", steps + n_images)
+                latents = pipeline.generate_latents(
+                    prompt,
+                    n_images=n_images,
+                    num_steps=steps,
+                    latent_size=latent_size,
+                    guidance=guidance,
+                    seed=seed,
+                )
+                next(latents)  # conditioning (generator protocol)
+
+            x_t = None
+            for x_t in latents:
+                self.progress.step()
+
+            decoded = []
+            for i in range(n_images):
+                if model.startswith("stabilityai/"):
+                    decoded.append(np.asarray(pipeline.decode(x_t[i : i + 1])))
+                else:
+                    decoded.append(
+                        np.asarray(pipeline.decode(x_t[i : i + 1], latent_size))
+                    )
+                self.progress.step()
+
+            images = []
+            for img in decoded:
+                arr = (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                if return_pil:
+                    from PIL import Image
+
+                    images.append(Image.fromarray(arr))
+                else:
+                    images.append(_png_data_url(arr))
+            self.progress.start("", 0)
+            return images
+
+    # -------------------------------------------------- music
+
+    def generate_music(self, prompt: str, max_steps: int = 500, top_k: int = 250,
+                       temperature: float = 1.0, guidance: float = 3.0,
+                       seed: Optional[int] = None):
+        with self._gen_lock:
+            pipe = self.init_music_pipeline()
+            max_steps = max(8, min(int(max_steps), 2500))
+            self.progress.start("musicgen", max_steps)
+            audio = pipe.generate(
+                prompt, max_steps=max_steps, top_k=top_k, temp=temperature,
+                guidance_coef=guidance, seed=seed,
+            )
+            self.progress.start("", 0)
+            return np.asarray(audio), pipe.sampling_rate
+
+    # -------------------------------------------------- A1111 metadata
+
+    def list_models(self):
+        def entry(title, name):
+            return {
+                "title": title,
+                "name": name,
+                "model_name": title,
+                "hash": None,
+                "sha256": None,
+                "filename": f"{title.split('/')[-1]}.safetensors",
+                "config": None,
+            }
+
+        return [
+            entry("flux-schnell", "Flux Schnell (Fast)"),
+            entry("flux-dev", "Flux Dev (High Quality)"),
+            entry("stabilityai/stable-diffusion-2-1-base", "SD 2.1 Base (High Quality)"),
+            entry("stabilityai/sdxl-turbo", "SDXL Turbo (Fast)"),
+        ]
+
+    def get_options(self):
+        return {
+            "sd_model_checkpoint": "stabilityai/stable-diffusion-2-1-base",
+            "sd_backend": "Flux TPU (JAX)",
+            "sd_model_list": [
+                {"title": "Flux Schnell (Fast)", "name": "flux-schnell",
+                 "model_name": "flux-schnell"},
+                {"title": "SD 2.1 Base (High Quality)",
+                 "name": "stabilityai/stable-diffusion-2-1-base",
+                 "model_name": "stabilityai/stable-diffusion-2-1-base"},
+                {"title": "Flux Dev (High Quality)", "name": "flux-dev",
+                 "model_name": "flux-dev"},
+                {"title": "SDXL Turbo (Fast)", "name": "stabilityai/sdxl-turbo",
+                 "model_name": "stabilityai/sdxl-turbo"},
+            ],
+        }
+
+    def set_options(self, options: dict):
+        return {"success": True}
+
+    def get_progress(self):
+        return self.progress.snapshot()
+
+
+def _png_data_url(arr) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()

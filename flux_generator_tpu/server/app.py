@@ -1,0 +1,67 @@
+"""Server entry point (parity: flux_app.py main(), flux_app.py:780-856).
+
+python -m flux_generator_tpu.server.app [--port 7860] [--listen-all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+
+from .api import FluxAPI
+from .httpd import Server
+
+
+def check_port_available(host: str, port: int) -> bool:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        try:
+            s.bind((host, port))
+            return True
+        except OSError:
+            return False
+
+
+def find_available_port(host: str, start_port: int, max_attempts: int = 10) -> int:
+    for port in range(start_port, start_port + max_attempts):
+        if check_port_available(host, port):
+            return port
+    raise RuntimeError(
+        f"Could not find an available port in range "
+        f"{start_port}-{start_port + max_attempts - 1}"
+    )
+
+
+def get_app(pipeline_factory=None, sd_factory=None):
+    """Test factory (parity: flux_app.py:858-881): returns (api, server
+    factory) without binding a port."""
+    api = FluxAPI(pipeline_factory=pipeline_factory, sd_factory=sd_factory)
+    return api
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Flux Generator TPU server")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument(
+        "--listen-all", action="store_true",
+        help="listen on all interfaces (0.0.0.0)",
+    )
+    args = parser.parse_args(argv)
+
+    host = "0.0.0.0" if args.listen_all else "127.0.0.1"
+    port = args.port
+    if not check_port_available(host, port):
+        port = find_available_port(host, port + 1)
+        print(f"Port {args.port} busy; using {port}")
+
+    api = FluxAPI()
+    server = Server(api, host, port)
+    shown = "localhost" if host == "127.0.0.1" else host
+    print(f"Serving UI + A1111 API at http://{shown}:{port}/ (Ctrl-C to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
