@@ -30,6 +30,19 @@ from ...ops.embeddings import timestep_embedding
 from ...ops.linear import dense, init_dense
 from ...ops.norms import layer_norm, rms_norm
 from ...ops.rope import apply_rope, multi_axis_rope
+from ...runtime.config import use_pallas_attention
+
+
+def _rope_attention(q, k, v, cos, sin):
+    """RoPE + SDPA: Pallas fused kernel on TPU, XLA einsum elsewhere
+    (runtime/config.py switch)."""
+    if use_pallas_attention():
+        from ...ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, cos=cos, sin=sin)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return dot_product_attention(q, k, v)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,9 +218,7 @@ def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig):
     q = jnp.concatenate([tq, iq], axis=1)
     k = jnp.concatenate([tk, ik], axis=1)
     v = jnp.concatenate([tv, iv], axis=1)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    attn = dot_product_attention(q, k, v).reshape(b, s + l, h)
+    attn = _rope_attention(q, k, v, cos, sin).reshape(b, s + l, h)
     txt_attn, img_attn = attn[:, :s], attn[:, s:]
 
     img = img + i_gate * dense(p["img_attn"]["proj"], img_attn)
@@ -237,9 +248,7 @@ def _single_block(p, x, vec, cos, sin, cfg: FluxConfig):
     q = rms_norm(_qkv_heads(q, cfg.num_heads), p["q_norm"])
     k = rms_norm(_qkv_heads(k, cfg.num_heads), p["k_norm"])
     v = _qkv_heads(v, cfg.num_heads)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    attn = dot_product_attention(q, k, v).reshape(b, l, h)
+    attn = _rope_attention(q, k, v, cos, sin).reshape(b, l, h)
 
     y = dense(
         p["linear2"],

@@ -33,10 +33,13 @@ def _spec_for(path: str, leaf) -> P:
         # biases / norms / embeddings replicated (bias sharding done via path
         # of owning module if needed; replication is correct with all-reduce).
         return P()
+    # layer-stacked kernels (scan) carry a leading depth axis: shard the
+    # matmul dims, never the stack axis
+    lead = (None,) * (leaf.ndim - 2)
     if _ROW_PAT.search(path):
-        return P(MODEL_AXIS, None)
+        return P(*lead, MODEL_AXIS, None)
     if _COL_PAT.search(path):
-        return P(None, MODEL_AXIS)
+        return P(*lead, None, MODEL_AXIS)
     return P()
 
 

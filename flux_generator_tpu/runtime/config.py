@@ -1,0 +1,20 @@
+"""Runtime feature switches.
+
+FGT_PALLAS=auto|1|0 — use the Pallas flash-attention (+fused RoPE) kernel on
+the Flux hot path. "auto" (default) enables it only on TPU backends; CPU
+tests run the einsum path (the kernel itself is covered by interpret-mode
+tests in tests/test_pallas_flash.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def use_pallas_attention() -> bool:
+    import jax
+
+    v = os.environ.get("FGT_PALLAS", "auto").lower()
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v not in ("0", "off", "false", "no")

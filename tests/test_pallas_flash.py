@@ -1,0 +1,49 @@
+"""Pallas flash attention vs reference einsum attention (interpret mode on
+CPU; the same kernel compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.ops.attention import dot_product_attention
+from flux_generator_tpu.ops.pallas.flash_attention import flash_attention
+from flux_generator_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+@pytest.mark.parametrize("l", [256, 512])
+def test_flash_matches_reference(l):
+    b, h, d = 1, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_with_padding():
+    """Sequence length not a multiple of the query block."""
+    b, l, h, d = 1, 300, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_fused_rope_matches_unfused():
+    b, l, h, d = 2, 256, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    pos = jnp.broadcast_to(jnp.arange(l, dtype=jnp.float32), (b, l))
+    cos, sin = rope_cos_sin(pos, d)
+
+    ref = dot_product_attention(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
+    out = flash_attention(q, k, v, cos=cos, sin=sin, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
