@@ -1,0 +1,63 @@
+"""CLI argument-surface tests (parity: test/test_cli.py checks parser
+behavior without invoking heavy main paths)."""
+
+import pytest
+
+from flux_generator_tpu.training.dreambooth import build_parser
+
+
+def test_dreambooth_parser_defaults():
+    args = build_parser().parse_args(["data"])
+    assert args.model == "dev"
+    assert args.lora_rank == 8
+    assert args.grad_accumulate == 4
+    assert args.resolution == (512, 512)
+
+
+def test_dreambooth_parser_resolution():
+    args = build_parser().parse_args(["data", "--resolution", "768x512"])
+    assert args.resolution == (768, 512)
+
+
+def test_txt2image_parser():
+    import argparse
+    from flux_generator_tpu.cli import txt2image
+
+    # parse-only: patch main's heavy part by checking the parser directly
+    parser = argparse.ArgumentParser()
+    # reconstruct: call main with --help should exit cleanly
+    with pytest.raises(SystemExit) as e:
+        txt2image.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_sd_txt2image_help():
+    from flux_generator_tpu.cli import sd_txt2image
+
+    with pytest.raises(SystemExit) as e:
+        sd_txt2image.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_musicgen_help():
+    from flux_generator_tpu.cli import musicgen_generate
+
+    with pytest.raises(SystemExit) as e:
+        musicgen_generate.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_image2image_help():
+    from flux_generator_tpu.cli import image2image
+
+    with pytest.raises(SystemExit) as e:
+        image2image.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_server_app_help():
+    from flux_generator_tpu.server import app
+
+    with pytest.raises(SystemExit) as e:
+        app.main(["--help"])
+    assert e.value.code == 0
