@@ -106,9 +106,12 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
     ae_cfg = AutoEncoderConfig()
     dtype = jnp.bfloat16
 
-    flow_shape = jax.eval_shape(lambda: init_flux(jax.random.PRNGKey(0), cfg, dtype))
+    # eval_shape THROUGH the quantizer so only int8 buffers ever materialize
+    # (a bf16 zeros tree would transiently need 24 GB of HBM)
+    flow_shape = jax.eval_shape(
+        lambda: quantize_tree(init_flux(jax.random.PRNGKey(0), cfg, dtype))
+    )
     flow = _zeros_like_tree(flow_shape)
-    flow = quantize_tree(flow)
     ae_shape = jax.eval_shape(
         lambda: init_autoencoder(jax.random.PRNGKey(0), ae_cfg, dtype)
     )
@@ -155,10 +158,42 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
     }
 
 
+def bench_musicgen(max_steps: int = 100, repeats: int = 3):
+    """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
+    ms/step (the reference's bench_mx.py protocol). Zero weights, honest
+    shapes: 48 layers, hidden 1536, batch 2 (CFG)."""
+    from flux_generator_tpu.models.musicgen import model as mg
+
+    cfg = mg.MusicGenConfig()
+    dtype = jnp.bfloat16
+    shape = jax.eval_shape(lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype))
+    params = _zeros_like_tree(shape)
+    cond = jnp.zeros((1, 12, cfg.hidden_size), dtype)
+
+    gen = jax.jit(
+        lambda p, c, key: mg.generate(p, cfg, c, max_steps, 250, 1.0, 3.0, key)
+    )
+    np.asarray(gen(params, cond, jax.random.PRNGKey(0)))  # compile
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(gen(params, cond, jax.random.PRNGKey(i)))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    audio_sec = max_steps / 50.0  # 50 Hz frames (encodec 32kHz / hop 640)
+    return {
+        "metric": f"MusicGen-medium audio-sec/sec ({max_steps} AR steps, CFG batch 2)",
+        "value": round(audio_sec / p50, 4),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round((audio_sec / p50) / 2.0, 4),  # ≥2x realtime target
+        "ms_per_step": round(p50 * 1000 / max_steps, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flux-schnell",
-                    choices=["sd21", "flux-schnell"])
+                    choices=["sd21", "flux-schnell", "musicgen"])
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--size", type=int)
     args = ap.parse_args()
@@ -166,6 +201,8 @@ def main():
     try:
         if args.config == "flux-schnell":
             result = bench_flux_schnell(steps=args.steps, size=args.size or 512)
+        elif args.config == "musicgen":
+            result = bench_musicgen()
         else:
             result = bench_sd21(steps=args.steps, size=args.size or 256)
     except Exception as e:  # fall back so the driver always gets a line
