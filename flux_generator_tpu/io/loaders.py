@@ -109,7 +109,7 @@ def cast_tree(tree, dtype):
 
 
 def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
-                       local_dir: Optional[str] = None):
+                       local_dir: Optional[str] = None, quantize: bool = False):
     from ..models.clip.text import init_clip_text
     from ..models.flux.autoencoder import init_autoencoder
     from ..models.flux.model import init_flux
@@ -174,6 +174,13 @@ def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
         "clip": cast_tree(clip, dtype),
         "t5": cast_tree(t5, dtype),
     }
+    if quantize:
+        # int8 weight-only on the big matmuls: Flux-12B + T5-XXL fit one
+        # 16 GB v5e chip (FGT_QUANTIZE=1 in serving)
+        from ..ops.quant import quantize_tree
+
+        params["flow"] = quantize_tree(params["flow"])
+        params["t5"] = quantize_tree(params["t5"])
     return FluxPipeline(
         name, params, flow_cfg, ae_cfg, clip_cfg, t5_cfg,
         clip_tokenizer=clip_tok, t5_tokenizer=t5_tok, dtype=dtype,

@@ -126,9 +126,14 @@ class FluxAPI:
             if self._pipeline_factory is not None:
                 self.pipeline = self._pipeline_factory(flux_model)
             else:
+                import os
+
                 from ..pipelines.flux import FluxPipeline
 
-                self.pipeline = FluxPipeline.from_pretrained(flux_model)
+                self.pipeline = FluxPipeline.from_pretrained(
+                    flux_model,
+                    quantize=os.environ.get("FGT_QUANTIZE", "0") == "1",
+                )
             self.current_model = flux_model
         return self.pipeline
 

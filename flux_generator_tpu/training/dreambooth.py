@@ -127,6 +127,15 @@ def train(args, pipeline=None, dataset=None):
     optimizer = build_optimizer(args.learning_rate, args.warmup_steps,
                                 args.iterations, trainable)
     opt_state = optimizer.init(flow)
+    start_iter = 0
+    if getattr(args, "resume", False):
+        from .checkpoints import load_train_state
+
+        restored = load_train_state(output_dir / "ckpt", flow, opt_state)
+        if restored is not None:
+            start_iter, flow, opt_state = restored
+            pipeline.params["flow"] = flow
+            print(f"Resumed from step {start_iter}", flush=True)
     step_fn = make_train_step(pipeline, optimizer, args.grad_accumulate)
 
     trainer = Trainer(
@@ -141,8 +150,10 @@ def train(args, pipeline=None, dataset=None):
     key = jax.random.PRNGKey(0xF0F0F0F0)
 
     losses, tic = [], time.time()
-    for i, (x0, t5f, clipf) in zip(range(args.iterations * args.grad_accumulate),
-                                   trainer.iterate(args.batch_size)):
+    for i, (x0, t5f, clipf) in zip(
+        range(start_iter * args.grad_accumulate, args.iterations * args.grad_accumulate),
+        trainer.iterate(args.batch_size),
+    ):
         x0 = jax.device_put(x0, data_sharding)
         t5f = jax.device_put(t5f, data_sharding)
         clipf = jax.device_put(clipf, data_sharding)
@@ -172,6 +183,10 @@ def train(args, pipeline=None, dataset=None):
                 output_dir / f"{opt_step:07d}_adapters.safetensors",
                 flow, args.lora_rank, args.lora_blocks,
             )
+            if getattr(args, "resume", False) or getattr(args, "save_state", False):
+                from .checkpoints import save_train_state
+
+                save_train_state(output_dir / "ckpt", opt_step, flow, opt_state)
     # final adapter
     save_adapter(output_dir / "final_adapters.safetensors", flow,
                  args.lora_rank, args.lora_blocks)
@@ -199,6 +214,10 @@ def build_parser():
     parser.add_argument("--warmup-steps", type=int, default=100)
     parser.add_argument("--grad-accumulate", type=int, default=4)
     parser.add_argument("--output-dir", default="tpu_output")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest orbax train-state checkpoint")
+    parser.add_argument("--save-state", action="store_true",
+                        help="write orbax train-state checkpoints alongside adapters")
     return parser
 
 
