@@ -322,9 +322,15 @@ def _run_spec(params, spec, cfg, x):
         elif kind == "resnet":
             x = _resnet(p, cfg, x, entry[2])
         elif kind == "lstm":
+            from ...runtime.config import use_pallas_lstm
+
+            if use_pallas_lstm():
+                from ...ops.pallas.lstm import lstm_pallas as _lstm
+            else:
+                _lstm = lstm_forward
             h = x
             for lp in p["lstm"]:
-                h = lstm_forward(lp, h)
+                h = _lstm(lp, h)
             x = x + h
         elif kind == "elu":
             x = jax.nn.elu(x, alpha=1.0)

@@ -11,10 +11,18 @@ from __future__ import annotations
 import os
 
 
-def use_pallas_attention() -> bool:
+def _flag(name: str) -> bool:
     import jax
 
-    v = os.environ.get("FGT_PALLAS", "auto").lower()
+    v = os.environ.get(name, os.environ.get("FGT_PALLAS", "auto")).lower()
     if v == "auto":
         return jax.default_backend() == "tpu"
     return v not in ("0", "off", "false", "no")
+
+
+def use_pallas_attention() -> bool:
+    return _flag("FGT_PALLAS_ATTENTION")
+
+
+def use_pallas_lstm() -> bool:
+    return _flag("FGT_PALLAS_LSTM")
