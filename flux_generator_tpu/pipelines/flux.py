@@ -131,6 +131,23 @@ class FluxPipeline:
 
         return load_flux_pipeline(name, dtype=dtype, **kwargs)
 
+    def shard(self, mesh=None):
+        """Tensor-parallel-shard the flow + T5 weights over a ("data",
+        "model") mesh (parallel.sharding rules); activations stay batch-
+        sharded. Call once after load for multi-chip serving."""
+        from ..parallel.mesh import create_mesh
+        from ..parallel.sharding import replicate, shard_params
+
+        import jax
+
+        mesh = mesh or create_mesh(data=1, model=len(jax.devices()))
+        self.mesh = mesh
+        self.params["flow"] = shard_params(self.params["flow"], mesh)
+        self.params["t5"] = shard_params(self.params["t5"], mesh)
+        self.params["clip"] = replicate(self.params["clip"], mesh)
+        self.params["ae"] = replicate(self.params["ae"], mesh)
+        return self
+
     # -------------------------------------------------- text conditioning
 
     def tokenize(self, text):

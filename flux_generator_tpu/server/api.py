@@ -194,7 +194,10 @@ class FluxAPI:
         n_iter: int = 1,
         return_pil: bool = False,
     ) -> List[Union[str, object]]:
+        import time as _time
+
         with self._gen_lock:
+            t_start = _time.time()
             pipeline = self.init_pipeline(model)
             latent_size = to_latent_size((height, width))
             n_images = batch_size * n_iter
@@ -224,10 +227,12 @@ class FluxAPI:
                     seed=seed,
                 )
                 next(latents)  # conditioning (generator protocol)
+            t_cond = _time.time()
 
             x_t = None
             for x_t in latents:
                 self.progress.step()
+            t_gen = _time.time()
 
             decoded = []
             for i in range(n_images):
@@ -248,6 +253,17 @@ class FluxAPI:
                     images.append(Image.fromarray(arr))
                 else:
                     images.append(_png_data_url(arr))
+            # per-request phase stats (reference UI stats panel,
+            # flux_app.py:657-704; on TPU, HBM peak via runtime.profiling)
+            from ..runtime.profiling import peak_memory_gb
+
+            self.last_stats = {
+                "conditioning_s": round(t_cond - t_start, 3),
+                "generation_s": round(t_gen - t_cond, 3),
+                "decode_s": round(_time.time() - t_gen, 3),
+                "total_s": round(_time.time() - t_start, 3),
+                "peak_hbm_gb": round(peak_memory_gb(), 3),
+            }
             self.progress.start("", 0)
             return images
 

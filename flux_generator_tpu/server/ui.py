@@ -74,6 +74,16 @@ INDEX_HTML = """<!DOCTYPE html>
 <div class="panel" id="panel-music">
   <div class="controls">
     <div><label>Prompt</label><textarea id="mus-prompt">happy rock with electric guitar</textarea></div>
+    <div><label>Examples</label>
+      <select id="mus-example">
+        <option value="">— pick an example —</option>
+        <option>happy rock with electric guitar</option>
+        <option>energetic EDM with heavy bass</option>
+        <option>sad jazz piano ballad</option>
+        <option>epic orchestral film score</option>
+        <option>lo-fi hip hop beat to relax to</option>
+        <option>classical string quartet in a minor key</option>
+      </select></div>
     <div class="row">
       <div><label>Max steps (50/s ≈ audio len)</label><input id="mus-steps" type="number" value="500"></div>
       <div><label>Top-k</label><input id="mus-topk" type="number" value="250"></div>
@@ -134,6 +144,10 @@ document.getElementById('img-go').onclick = async () => {
       `Model: ${body.model} · ${body.width}×${body.height} · ${body.steps} steps`;
   } catch (e) { stats.textContent = 'Error: ' + e.message; }
   clearInterval(timer); bar.hidden = true; btn.disabled = false;
+};
+
+document.getElementById('mus-example').onchange = (e) => {
+  if (e.target.value) document.getElementById('mus-prompt').value = e.target.value;
 };
 
 document.getElementById('mus-go').onclick = async () => {

@@ -59,6 +59,26 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_pipeline_shard_denoise():
+    """FluxPipeline.shard() TP-shards weights; denoise still matches the
+    unsharded result."""
+    from flux_generator_tpu.pipelines.flux import FluxPipeline, latent_ids, pack_latents
+
+    pipe = FluxPipeline.random_init("flux-schnell", tiny=True, dtype=jnp.float32)
+    b, h, w = 1, 4, 4
+    zc = pipe.ae_cfg.z_channels
+    x_t = pack_latents(jax.random.normal(jax.random.PRNGKey(0), (b, h, w, zc)))
+    x_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (b, 4, pipe.flow_cfg.context_in_dim))
+    txt_ids = jnp.zeros((b, 4, 3), jnp.int32)
+    vec = jax.random.normal(jax.random.PRNGKey(2), (b, pipe.flow_cfg.vec_in_dim))
+
+    ref = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, 2, 4.0)
+    pipe.shard(create_mesh(data=1, model=4, devices=jax.devices()[:4]))
+    out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, 2, 4.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_dp_batch_sharded_forward():
     cfg = tiny_flux_config()
     params = init_flux(jax.random.PRNGKey(0), cfg)
