@@ -287,29 +287,23 @@ _MUSICGEN_RULES = [
     (r"cross_attention", "cross_attn"),
     (r"condition_provider\.conditioners\.description\.output_proj\.",
      "text_proj."),
-    (r"\.self_attn\.q_proj\.", ".self_attn.q."),
-    (r"\.self_attn\.k_proj\.", ".self_attn.k."),
-    (r"\.self_attn\.v_proj\.", ".self_attn.v."),
     (r"\.self_attn\.out_proj\.", ".self_attn.o."),
-    (r"\.cross_attn\.q_proj\.", ".cross_attn.q."),
-    (r"\.cross_attn\.k_proj\.", ".cross_attn.k."),
-    (r"\.cross_attn\.v_proj\.", ".cross_attn.v."),
     (r"\.cross_attn\.out_proj\.", ".cross_attn.o."),
 ]
 
 
 def sanitize_musicgen(weights: dict) -> dict:
-    """MusicGen state_dict.bin["best_state"] → decoder params. in_proj qkv
-    split, emb/linears list → stacked (musicgen/musicgen.py:307-330)."""
+    """MusicGen state_dict.bin["best_state"] → decoder params. The torch
+    in_proj_weight (3h, h) maps 1:1 onto our fused qkv kernel (h, 3h) — no
+    split needed (our decoder keeps qkv fused for the latency-bound AR loop);
+    emb/linears lists → stacked (musicgen/musicgen.py:307-330 contract)."""
     out = {}
     embs, heads = {}, {}
     for k, w in weights.items():
         w = np.asarray(w)
         k = _sub(k, _MUSICGEN_RULES)
         if "in_proj_weight" in k:
-            dim = w.shape[0] // 3
-            for name, ww in (("q", w[:dim]), ("k", w[dim : 2 * dim]), ("v", w[2 * dim :])):
-                out[k.replace("in_proj_weight", f"{name}.kernel")] = t_linear(ww)
+            out[k.replace("in_proj_weight", "qkv.kernel")] = t_linear(w)
             continue
         m = re.match(r"^emb\.(\d+)\.weight$", k)
         if m:

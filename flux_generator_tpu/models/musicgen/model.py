@@ -70,28 +70,27 @@ def tiny_musicgen_config(**overrides) -> MusicGenConfig:
 
 
 def _init_layer(key, cfg: MusicGenConfig, dtype):
+    """q/k/v fused into ONE (h, 3h) kernel per attention — the AR loop is
+    dispatch-latency-bound at T=1, so fewer/larger matmuls win (the torch
+    checkpoint stores the same fused in_proj_weight)."""
     h = cfg.hidden_size
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 6)
     def ln():
         return {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)}
     return {
         "norm1": ln(),
         "self_attn": {
-            "q": init_dense(ks[0], h, h, bias=False, dtype=dtype),
-            "k": init_dense(ks[1], h, h, bias=False, dtype=dtype),
-            "v": init_dense(ks[2], h, h, bias=False, dtype=dtype),
-            "o": init_dense(ks[3], h, h, bias=False, dtype=dtype),
+            "qkv": init_dense(ks[0], h, 3 * h, bias=False, dtype=dtype),
+            "o": init_dense(ks[1], h, h, bias=False, dtype=dtype),
         },
         "norm_cross": ln(),
         "cross_attn": {
-            "q": init_dense(ks[4], h, h, bias=False, dtype=dtype),
-            "k": init_dense(ks[5], h, h, bias=False, dtype=dtype),
-            "v": init_dense(ks[6], h, h, bias=False, dtype=dtype),
-            "o": init_dense(ks[7], h, h, bias=False, dtype=dtype),
+            "qkv": init_dense(ks[2], h, 3 * h, bias=False, dtype=dtype),
+            "o": init_dense(ks[3], h, h, bias=False, dtype=dtype),
         },
         "norm2": ln(),
-        "linear1": init_dense(ks[8], h, cfg.ffn_dim, bias=False, dtype=dtype),
-        "linear2": init_dense(ks[9], cfg.ffn_dim, h, bias=False, dtype=dtype),
+        "linear1": init_dense(ks[4], h, cfg.ffn_dim, bias=False, dtype=dtype),
+        "linear2": init_dense(ks[5], cfg.ffn_dim, h, bias=False, dtype=dtype),
     }
 
 
@@ -128,11 +127,15 @@ def condition_text(params, t5_features):
 
 
 def precompute_cross_kv(params, cfg: MusicGenConfig, conditioning):
-    """Compute per-layer cross-attention K/V once for the fixed conditioning.
+    """Compute per-layer cross-attention K/V once for the fixed conditioning
+    (the reference re-projects every step, musicgen.py:142).
     Returns (L, B, S, H, Dh) pair."""
+    h = cfg.hidden_size
+
     def one(layer_p):
-        k = _heads(dense(layer_p["cross_attn"]["k"], conditioning), cfg.num_attention_heads)
-        v = _heads(dense(layer_p["cross_attn"]["v"], conditioning), cfg.num_attention_heads)
+        kern = layer_p["cross_attn"]["qkv"]["kernel"].astype(conditioning.dtype)
+        k = _heads(conditioning @ kern[:, h : 2 * h], cfg.num_attention_heads)
+        v = _heads(conditioning @ kern[:, 2 * h :], cfg.num_attention_heads)
         return k, v
 
     return jax.vmap(one, in_axes=(0,))(params["layers"])
@@ -164,19 +167,24 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
 
     cross_k, cross_v = cross_kv
 
+    hid = x.shape[-1]
+
     def layer(x, inputs):
         p, kc, vc, ck, cv = inputs
         y = layer_norm(x, p["norm1"])
-        q = _heads(dense(p["self_attn"]["q"], y), h)
-        k_new = _heads(dense(p["self_attn"]["k"], y), h)
-        v_new = _heads(dense(p["self_attn"]["v"], y), h)
+        qkv = dense(p["self_attn"]["qkv"], y)
+        q = _heads(qkv[..., :hid], h)
+        k_new = _heads(qkv[..., hid : 2 * hid], h)
+        v_new = _heads(qkv[..., 2 * hid :], h)
         kc = jax.lax.dynamic_update_slice(kc, k_new, (0, offset, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, v_new, (0, offset, 0, 0))
         attn = dot_product_attention(q, kc, vc, mask=mask)
         x = x + dense(p["self_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm_cross"])
-        q = _heads(dense(p["cross_attn"]["q"], y), h)
+        q = _heads(
+            y @ p["cross_attn"]["qkv"]["kernel"].astype(y.dtype)[:, :hid], h
+        )
         attn = dot_product_attention(q, ck, cv)
         x = x + dense(p["cross_attn"]["o"], attn.reshape(b, 1, -1))
 

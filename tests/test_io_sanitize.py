@@ -233,15 +233,23 @@ def test_sd_unet_1x1_and_conv_transforms():
 # ------------------------------------------------------------ MusicGen qkv split
 
 
-def test_musicgen_in_proj_split():
+def test_musicgen_in_proj_fused():
     h = 12
     w_in = _w(3 * h, h)
     ckpt = {
         "transformer.layers.0.self_attn.in_proj_weight": w_in,
         "transformer.layers.0.self_attn.out_proj.weight": _w(h, h),
+        "emb.0.weight": _w(17, h),
+        "emb.1.weight": _w(17, h),
+        "linears.0.weight": _w(16, h),
+        "linears.1.weight": _w(16, h),
     }
     flat = sanitize.sanitize_musicgen(ckpt)
-    np.testing.assert_allclose(flat["layers.0.self_attn.q.kernel"], w_in[:h].T)
-    np.testing.assert_allclose(flat["layers.0.self_attn.k.kernel"], w_in[h : 2 * h].T)
-    np.testing.assert_allclose(flat["layers.0.self_attn.v.kernel"], w_in[2 * h :].T)
+    # fused in_proj (3h, h) → qkv kernel (h, 3h): q rows land in cols [:h]
+    np.testing.assert_allclose(flat["layers.0.self_attn.qkv.kernel"], w_in.T)
+    np.testing.assert_allclose(
+        flat["layers.0.self_attn.qkv.kernel"][:, :h], w_in[:h].T
+    )
     assert "layers.0.self_attn.o.kernel" in flat
+    assert flat["emb"].shape == (2, 17, h)
+    assert flat["linears"].shape == (2, h, 16)
