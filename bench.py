@@ -23,6 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: first-compile of the big programs (12B
+# flux denoise ~5 min, musicgen AR loop ~3 min through the tunnel) is paid
+# once per machine, not once per process
+jax.config.update("jax_compilation_cache_dir", "/tmp/fgt-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def bench_sd21(steps: int = 4, size: int = 256, batch: int = 1, repeats: int = 5):
     from flux_generator_tpu.models.clip.text import CLIPTextConfig, init_clip_text

@@ -267,10 +267,15 @@ def flux_forward(
     timesteps,
     y,
     guidance: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
     """img: (B, L_img, in_channels) packed 2x2 latent patches; txt: (B, L_txt,
     context_in_dim) T5 features; y: (B, vec_in_dim) pooled CLIP; timesteps,
-    guidance: (B,). Returns (B, L_img, in_channels)."""
+    guidance: (B,). Returns (B, L_img, in_channels).
+
+    remat=True rematerializes each block in the backward pass
+    (jax.checkpoint): training holds one block's activations instead of all
+    19+38 — the TPU analog of gradient checkpointing."""
     dtype = img.dtype
     img = dense(params["img_in"], img)
     vec = _mlp_embedder(params["time_in"], timestep_embedding(timesteps, 256))
@@ -287,8 +292,14 @@ def flux_forward(
     cos, sin = multi_axis_rope(ids, list(cfg.axes_dim), float(cfg.theta))
     cos, sin = cos.astype(dtype), sin.astype(dtype)
 
+    dbl_body = _double_block
+    sgl_body = _single_block
+    if remat:
+        dbl_body = jax.checkpoint(_double_block, static_argnums=(6,))
+        sgl_body = jax.checkpoint(_single_block, static_argnums=(5,))
+
     def dbl(carry, p):
-        i, t = _double_block(p, carry[0], carry[1], vec, cos, sin, cfg)
+        i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg)
         return (i, t), None
 
     (img, txt), _ = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
@@ -296,7 +307,7 @@ def flux_forward(
     x = jnp.concatenate([txt, img], axis=1)
 
     def sgl(carry, p):
-        return _single_block(p, carry, vec, cos, sin, cfg), None
+        return sgl_body(p, carry, vec, cos, sin, cfg), None
 
     x, _ = jax.lax.scan(sgl, x, params["single_blocks"])
     img = x[:, txt.shape[1] :]

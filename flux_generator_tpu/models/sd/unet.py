@@ -178,13 +178,25 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 # ------------------------------------------------------------ forward
 
 
+def _self_attention(q, k, v):
+    """Self-attention dispatch: Pallas flash kernel on TPU for the big
+    spatial sequences (64x64 latents = 4096 tokens), XLA otherwise."""
+    from ...runtime.config import use_pallas_attention
+
+    if use_pallas_attention() and q.shape[1] >= 256 and q.shape[-1] % 64 == 0:
+        from ...ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return dot_product_attention(q, k, v)
+
+
 def _transformer_block(p, x, memory, num_heads):
     b, l, d = x.shape
     y = layer_norm(x, p["norm1"])
     q = dense(p["attn1"]["q"], y).reshape(b, l, num_heads, -1)
     k = dense(p["attn1"]["k"], y).reshape(b, l, num_heads, -1)
     v = dense(p["attn1"]["v"], y).reshape(b, l, num_heads, -1)
-    x = x + dense(p["attn1"]["o"], dot_product_attention(q, k, v).reshape(b, l, d))
+    x = x + dense(p["attn1"]["o"], _self_attention(q, k, v).reshape(b, l, d))
 
     y = layer_norm(x, p["norm2"])
     s = memory.shape[1]

@@ -299,5 +299,6 @@ class FluxPipeline:
             img=x_t, img_ids=x_ids, txt=txt, txt_ids=txt_ids,
             timesteps=t.astype(self.dtype), y=vec,
             guidance=guidance if self.flow_cfg.guidance_embed else None,
+            remat=True,  # per-block gradient checkpointing
         )
         return jnp.mean((pred + x_0 - eps).astype(jnp.float32) ** 2)
