@@ -164,7 +164,7 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
     }
 
 
-def bench_musicgen(max_steps: int = 100, repeats: int = 3):
+def bench_musicgen(max_steps: int = 50, repeats: int = 3):
     """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
     ms/step (the reference's bench_mx.py protocol). Zero weights, honest
     shapes: 48 layers, hidden 1536, batch 2 (CFG)."""

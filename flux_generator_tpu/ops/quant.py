@@ -13,12 +13,17 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_dense(p: dict) -> dict:
-    """Quantize one dense param dict (supports layer-stacked kernels)."""
+def quantize_dense(p: dict, bits: int = 8) -> dict:
+    """Quantize one dense param dict (supports layer-stacked kernels).
+    bits=4 uses the native int4 dtype (packed 2/byte by XLA on TPU) —
+    the analog of the reference's 4-bit text-encoder mode
+    (stable_diffusion/txt2image.py:36-56)."""
     kern = p["kernel"].astype(jnp.float32)
-    scale = jnp.max(jnp.abs(kern), axis=-2, keepdims=True) / 127.0
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.max(jnp.abs(kern), axis=-2, keepdims=True) / qmax
     scale = jnp.maximum(scale, 1e-8)
-    q = jnp.clip(jnp.round(kern / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(kern / scale), -qmax, qmax)
+    q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
     out = {k: v for k, v in p.items() if k != "kernel"}
     out["kernel_q"] = q
     out["kernel_scale"] = jnp.squeeze(scale, -2)
@@ -31,11 +36,11 @@ def default_predicate(p) -> bool:
     return p["kernel"].shape[-2] % 512 == 0
 
 
-def quantize_tree(params, predicate=default_predicate):
+def quantize_tree(params, predicate=default_predicate, bits: int = 8):
     def walk(node):
         if isinstance(node, dict):
             if "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2 and predicate(node):
-                return quantize_dense(node)
+                return quantize_dense(node, bits)
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]
@@ -44,9 +49,18 @@ def quantize_tree(params, predicate=default_predicate):
     return walk(params)
 
 
-def quantize_pipeline(pipeline, predicate=default_predicate):
-    """Quantize the big matmul weights of a pipeline in place."""
-    for name in ("flow", "t5", "clip", "clip_2", "unet"):
+def quantize_pipeline(pipeline, predicate=default_predicate, bits: int = 8,
+                      text_encoder_bits: int = None):
+    """Quantize the big matmul weights of a pipeline in place. The reference
+    mode "4-bit text encoders + 8-bit unet" maps to bits=8,
+    text_encoder_bits=4."""
+    for name in ("flow", "unet"):
         if name in pipeline.params:
-            pipeline.params[name] = quantize_tree(pipeline.params[name], predicate)
+            pipeline.params[name] = quantize_tree(pipeline.params[name], predicate, bits)
+    te_bits = text_encoder_bits or bits
+    for name in ("t5", "clip", "clip_2"):
+        if name in pipeline.params:
+            pipeline.params[name] = quantize_tree(
+                pipeline.params[name], predicate, te_bits
+            )
     return pipeline

@@ -106,6 +106,17 @@ def test_quantize_dense_roundtrip():
     assert rel < 0.05
 
 
+def test_quantize_int4():
+    p = init_dense(jax.random.PRNGKey(0), 512, 64)
+    q = quantize_dense(p, bits=4)
+    assert str(q["kernel_q"].dtype) == "int4"
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
+    rel = float(
+        jnp.linalg.norm(dense(p, x) - dense(q, x)) / jnp.linalg.norm(dense(p, x))
+    )
+    assert rel < 0.15
+
+
 def test_quantize_tree_predicate():
     tree = {
         "big": init_dense(jax.random.PRNGKey(0), 512, 8),
