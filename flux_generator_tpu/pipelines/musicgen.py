@@ -99,9 +99,15 @@ class MusicGenPipeline:
         if conditioning is None:
             conditioning = self.conditioning(text)
         key = jax.random.PRNGKey(0 if seed is None else seed)
+        # bucket the step count so arbitrary UI slider values reuse one
+        # compiled executable (same trick as the 16-px latent snap); the
+        # sampled prefix is identical because per-step keys fold by offset
+        bucket = max(64, -(-int(max_steps) // 256) * 256)
         codes = self._generate(
-            self.params, conditioning, key, int(max_steps), int(top_k),
+            self.params, conditioning, key, bucket, int(top_k),
             float(temp), float(guidance_coef),
         )
+        want = int(max_steps) - self.cfg.num_codebooks + 1
+        codes = codes[:, :, :want]
         audio = self.audio_decoder.decode(codes[None], [None])
         return audio[0]

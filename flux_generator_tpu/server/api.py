@@ -267,6 +267,51 @@ class FluxAPI:
             self.progress.start("", 0)
             return images
 
+    # -------------------------------------------------- img2img
+
+    def img2img(self, request) -> SDAPIResponse:
+        """A1111 /sdapi/v1/img2img (SD-family models; an addition over the
+        reference, whose API only exposes txt2img)."""
+        import base64
+        import io as _io
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        if not request.model.startswith("stabilityai/"):
+            raise ValueError("img2img supports the stabilityai/* models")
+        with self._gen_lock:
+            pipeline = self.init_pipeline(request.model)
+            raw = request.init_images[0]
+            if raw.startswith("data:"):
+                raw = raw.split(",", 1)[1]
+            img = Image.open(_io.BytesIO(base64.b64decode(raw))).convert("RGB")
+            w, h = (request.width // 64) * 64, (request.height // 64) * 64
+            img = img.resize((max(w, 64), max(h, 64)))
+            arr = jnp.asarray(np.array(img), jnp.float32) / 255 * 2 - 1
+
+            steps = request.steps or (2 if "sdxl-turbo" in request.model else 50)
+            self.progress.start(f"img2img:{request.model}", int(steps * request.denoising_strength))
+            x_t = None
+            for x_t in pipeline.generate_latents_from_image(
+                arr, request.prompt, n_images=request.batch_size,
+                strength=request.denoising_strength, num_steps=steps,
+                cfg_weight=request.cfg_scale,
+                negative_text=request.negative_prompt or "",
+                seed=request.seed if request.seed >= 0 else None,
+            ):
+                self.progress.step()
+            images = []
+            for i in range(request.batch_size):
+                out = np.asarray(pipeline.decode(x_t[i : i + 1]))
+                images.append(_png_data_url((np.clip(out[0], 0, 1) * 255).astype(np.uint8)))
+            self.progress.start("", 0)
+        return SDAPIResponse(
+            images=images,
+            parameters=request.model_dump(exclude={"init_images"}),
+            info=f"img2img with {request.model}",
+        )
+
     # -------------------------------------------------- music
 
     def generate_music(self, prompt: str, max_steps: int = 500, top_k: int = 250,

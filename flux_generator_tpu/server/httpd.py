@@ -14,7 +14,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .api import FluxAPI
-from .schemas import MusicRequest, SDAPIRequest
+from .schemas import Img2ImgRequest, MusicRequest, SDAPIRequest
 
 
 def make_handler(api: FluxAPI):
@@ -78,6 +78,9 @@ def make_handler(api: FluxAPI):
                     req = SDAPIRequest(**self._read_json())
                     resp = api.txt2img(req)
                     self._json(200, resp.model_dump())
+                elif path == "/sdapi/v1/img2img":
+                    req = Img2ImgRequest(**self._read_json())
+                    self._json(200, api.img2img(req).model_dump())
                 elif path == "/sdapi/v1/options":
                     self._json(200, api.set_options(self._read_json()))
                 elif path == "/api/music":

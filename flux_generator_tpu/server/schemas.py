@@ -28,6 +28,20 @@ class SDAPIResponse(BaseModel):
     info: str
 
 
+class Img2ImgRequest(BaseModel):
+    prompt: str
+    init_images: List[str]  # base64 or data-URL PNGs
+    negative_prompt: Optional[str] = None
+    denoising_strength: float = 0.75
+    width: int = 512
+    height: int = 512
+    steps: Optional[int] = None
+    cfg_scale: float = 7.5
+    batch_size: int = 1
+    seed: int = -1
+    model: str = "stabilityai/stable-diffusion-2-1-base"
+
+
 class MusicRequest(BaseModel):
     prompt: str
     max_steps: int = 500

@@ -39,6 +39,14 @@ class _MockSDPipeline:
         for _ in range(num_steps):
             yield jnp.zeros((n_images, *latent_size, 4))
 
+    def generate_latents_from_image(self, image, text, n_images=1, strength=0.8,
+                                    num_steps=2, cfg_weight=7.5, negative_text="",
+                                    seed=None):
+        import jax.numpy as jnp
+
+        for _ in range(max(1, int(num_steps * strength))):
+            yield jnp.zeros((n_images, image.shape[0] // 8, image.shape[1] // 8, 4))
+
     def decode(self, x):
         import jax.numpy as jnp
 
@@ -102,6 +110,25 @@ def test_txt2img_sd_model(server):
     status, data = _post(
         server + "/sdapi/v1/txt2img",
         {"prompt": "x", "model": "stabilityai/sdxl-turbo", "width": 64, "height": 64},
+    )
+    assert status == 200
+    assert data["images"][0].startswith("data:image/png;base64,")
+
+
+def test_img2img_endpoint(server):
+    import base64
+    import io
+
+    import numpy as _np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(_np.zeros((64, 64, 3), _np.uint8)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    status, data = _post(
+        server + "/sdapi/v1/img2img",
+        {"prompt": "x", "init_images": [b64], "width": 64, "height": 64,
+         "steps": 2, "model": "stabilityai/stable-diffusion-2-1-base"},
     )
     assert status == 200
     assert data["images"][0].startswith("data:image/png;base64,")
