@@ -38,7 +38,17 @@ def get_app(pipeline_factory=None, sd_factory=None):
     return api
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: model-switch and first-request
+    compiles are paid once per machine."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgt-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description="Flux Generator TPU server")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument(

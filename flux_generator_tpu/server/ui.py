@@ -118,6 +118,21 @@ function pollProgress(bar) {
   }, 500);
 }
 
+// per-model parameter presets (reference flux_app.py:634-643)
+const PRESETS = {
+  'flux-schnell': {steps: 2, cfg: 4.0},
+  'flux-dev': {steps: 50, cfg: 4.0},
+  'stabilityai/stable-diffusion-2-1-base': {steps: 50, cfg: 7.5},
+  'stabilityai/sdxl-turbo': {steps: 2, cfg: 0.0},
+};
+document.getElementById('img-model').onchange = (e) => {
+  const p = PRESETS[e.target.value];
+  if (p) {
+    document.getElementById('img-steps').value = p.steps;
+    document.getElementById('img-cfg').value = p.cfg;
+  }
+};
+
 document.getElementById('img-go').onclick = async () => {
   const btn = document.getElementById('img-go'), stats = document.getElementById('img-stats');
   const bar = document.getElementById('img-progress');

@@ -182,6 +182,34 @@ def test_ui_and_docs_served(server):
         assert "txt2img" in r.read().decode()
 
 
+def test_error_returns_500():
+    """Pipeline exceptions surface as HTTP 500 with detail (parity:
+    flux_app.py:120-121)."""
+
+    def boom(name):
+        raise RuntimeError("model load exploded")
+
+    api = FluxAPI(pipeline_factory=boom)
+    srv = Server(api, "127.0.0.1", 0)
+    srv.start_background()
+    try:
+        _post(f"http://127.0.0.1:{srv.port}/sdapi/v1/txt2img", {"prompt": "x"})
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "exploded" in json.loads(e.read())["detail"]
+    finally:
+        srv.shutdown()
+
+
+def test_422_on_bad_request(server):
+    try:
+        _post(server + "/sdapi/v1/txt2img", {"no_prompt": True})
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+
+
 def test_404(server):
     try:
         urllib.request.urlopen(server + "/nope")
