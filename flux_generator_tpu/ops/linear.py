@@ -29,11 +29,30 @@ def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtyp
     return p
 
 
+def _w8a8_enabled() -> bool:
+    import os
+
+    return os.environ.get("FGT_W8A8", "0") == "1"
+
+
 def dense(p, x):
     if "kernel_q" in p:
-        # weight-only int8: dequantize into the compute dtype (ops/quant.py)
-        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]
-        y = x @ w
+        if _w8a8_enabled() and p["kernel_q"].dtype == jnp.int8:
+            # full int8 MXU path (~1.6x bf16 on v5e): per-token activation
+            # scales x per-out-channel weight scales
+            sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+            sx = jnp.maximum(sx, 1e-8)
+            x_q = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, p["kernel_q"],
+                (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(x.dtype) * sx.astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        else:
+            # weight-only int8/int4: dequantize into the compute dtype
+            w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]
+            y = x @ w
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "lora_a" in p:

@@ -106,6 +106,17 @@ def test_quantize_dense_roundtrip():
     assert rel < 0.05
 
 
+def test_w8a8_compute_path(monkeypatch):
+    monkeypatch.setenv("FGT_W8A8", "1")
+    p = init_dense(jax.random.PRNGKey(0), 512, 128)
+    q = quantize_dense(p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 512))
+    rel = float(
+        jnp.linalg.norm(dense(p, x) - dense(q, x)) / jnp.linalg.norm(dense(p, x))
+    )
+    assert rel < 0.03
+
+
 def test_quantize_int4():
     p = init_dense(jax.random.PRNGKey(0), 512, 64)
     q = quantize_dense(p, bits=4)
