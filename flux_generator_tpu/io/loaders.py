@@ -352,13 +352,18 @@ def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfl
         text_d_model=config["text_encoder"]["d_model"],
         sampling_rate=config["audio_encoder"]["sampling_rate"],
     )
-    import torch
+    converted = path / "model.fgt.safetensors"
+    if converted.exists():
+        # pre-converted by scripts/convert_musicgen.py — no torch needed
+        flat = load_safetensors(converted)
+    else:
+        import torch
 
-    weights = torch.load(path / "state_dict.bin", weights_only=True, map_location="cpu")[
-        "best_state"
-    ]
-    weights = {k: v.numpy() for k, v in weights.items()}
-    flat = sanitize.sanitize_musicgen(weights)
+        weights = torch.load(
+            path / "state_dict.bin", weights_only=True, map_location="cpu"
+        )["best_state"]
+        weights = {k: v.numpy() for k, v in weights.items()}
+        flat = sanitize.sanitize_musicgen(weights)
     key = jax.random.PRNGKey(0)
     params = unflatten(flat, sanitize.MUSICGEN_STACKS)
     params = conform_params(
