@@ -55,6 +55,32 @@ def test_image2image_help():
     assert e.value.code == 0
 
 
+def test_run_script_help():
+    """run_flux.sh --help exits 0 and prints usage (parity:
+    test/test_run_script.sh in the reference)."""
+    import pathlib
+    import subprocess
+
+    script = pathlib.Path(__file__).parent.parent / "run_flux.sh"
+    out = subprocess.run(
+        ["bash", str(script), "--help"], capture_output=True, text=True, timeout=30
+    )
+    assert out.returncode == 0
+    assert "Usage" in out.stdout
+
+
+def test_run_script_unknown_option():
+    import pathlib
+    import subprocess
+
+    script = pathlib.Path(__file__).parent.parent / "run_flux.sh"
+    out = subprocess.run(
+        ["bash", str(script), "--bogus"], capture_output=True, text=True, timeout=30
+    )
+    assert out.returncode != 0
+    assert "Unknown option" in out.stdout
+
+
 def test_server_app_help():
     from flux_generator_tpu.server import app
 
