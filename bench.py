@@ -164,6 +164,73 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
     }
 
 
+def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
+    """SDXL-Turbo geometry: 1 Euler-ancestral step, no CFG (BASELINE.json
+    configs[1]). Full-size UNet (2.6B): block_out (320,640,1280),
+    transformer_layers (1,2,10), cross-attn 2048, text_time conditioning."""
+    from flux_generator_tpu.models.sd import sampler as smp
+    from flux_generator_tpu.models.sd.config import (
+        AutoencoderConfig,
+        DiffusionConfig,
+        UNetConfig,
+    )
+    from flux_generator_tpu.models.sd.unet import init_unet
+    from flux_generator_tpu.models.sd.vae import init_sd_vae
+    from flux_generator_tpu.pipelines.sd import StableDiffusionXL
+
+    unet_cfg = UNetConfig(
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=(2, 2, 2),
+        transformer_layers_per_block=(1, 2, 10),
+        num_attention_heads=(5, 10, 20),
+        cross_attention_dim=(2048, 2048, 2048),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+        addition_embed_type="text_time",
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=2816,
+    )
+    ae_cfg = AutoencoderConfig()
+    dtype = jnp.bfloat16
+    unet_shape = jax.eval_shape(lambda: init_unet(jax.random.PRNGKey(0), unet_cfg, dtype))
+    vae_shape = jax.eval_shape(lambda: init_sd_vae(jax.random.PRNGKey(0), ae_cfg, dtype))
+    params = {
+        "unet": _zeros_like_tree(unet_shape),
+        "vae": _zeros_like_tree(vae_shape),
+    }
+    from flux_generator_tpu.models.clip.text import tiny_clip_config
+
+    pipe = StableDiffusionXL(
+        "stabilityai/sdxl-turbo", params, unet_cfg, ae_cfg,
+        [tiny_clip_config()], DiffusionConfig(), dtype=dtype,
+    )
+    latent = size // 8
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 2048), dtype)
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 1280), dtype)
+    text_time = (pooled, jnp.array([[512, 512, 0, 0, 512, 512.0]]))
+    x_T = smp.sample_prior(jax.random.PRNGKey(3), pipe.sigmas, (1, latent, latent, 4), dtype)
+
+    def one(key):
+        x = pipe.denoise(x_T, cond, 1, cfg_weight=0.0, seed_key=key,
+                         text_time=text_time)
+        return np.asarray(pipe.decode(x))
+
+    one(jax.random.PRNGKey(4))
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        one(jax.random.PRNGKey(5 + i))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    return {
+        "metric": f"images/sec/chip (SDXL-Turbo {size}x{size}, 1 step, no CFG)",
+        "value": round(1 / p50, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(1 / p50, 4),
+        "p50_latency_s": round(p50, 4),
+    }
+
+
 def bench_musicgen(max_steps: int = 50, repeats: int = 3):
     """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
     ms/step (the reference's bench_mx.py protocol). Zero weights, honest
@@ -199,7 +266,7 @@ def bench_musicgen(max_steps: int = 50, repeats: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flux-schnell",
-                    choices=["sd21", "flux-schnell", "musicgen"])
+                    choices=["sd21", "flux-schnell", "musicgen", "sdxl-turbo"])
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--size", type=int)
     args = ap.parse_args()
@@ -209,6 +276,8 @@ def main():
             result = bench_flux_schnell(steps=args.steps, size=args.size or 512)
         elif args.config == "musicgen":
             result = bench_musicgen()
+        elif args.config == "sdxl-turbo":
+            result = bench_sdxl_turbo(size=args.size or 512)
         else:
             result = bench_sd21(steps=args.steps, size=args.size or 256)
     except Exception as e:  # fall back so the driver always gets a line

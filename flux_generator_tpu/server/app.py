@@ -55,6 +55,10 @@ def main(argv=None):
         "--listen-all", action="store_true",
         help="listen on all interfaces (0.0.0.0)",
     )
+    parser.add_argument(
+        "--warmup", metavar="MODEL",
+        help="load MODEL and compile the default 512x512 path before serving",
+    )
     args = parser.parse_args(argv)
 
     host = "0.0.0.0" if args.listen_all else "127.0.0.1"
@@ -64,6 +68,10 @@ def main(argv=None):
         print(f"Port {args.port} busy; using {port}")
 
     api = FluxAPI()
+    if args.warmup:
+        print(f"Warming up {args.warmup} (load + compile 512x512)...", flush=True)
+        api.generate_images("warmup", model=args.warmup, width=512, height=512)
+        print("Warmup done.", flush=True)
     server = Server(api, host, port)
     shown = "localhost" if host == "127.0.0.1" else host
     print(f"Serving UI + A1111 API at http://{shown}:{port}/ (Ctrl-C to stop)")
