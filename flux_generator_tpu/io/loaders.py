@@ -248,7 +248,12 @@ def load_sd_pipeline(model: str = "stabilityai/stable-diffusion-2-1-base",
     unet_flat = sanitize.sanitize_sd_unet(
         load_safetensors(get("unet/diffusion_pytorch_model.safetensors"))
     )
-    unet = unflatten(unet_flat, ())
+    # transformer blocks inside each attention site are scan-stacked
+    unet = unflatten(
+        unet_flat,
+        ("down_blocks.attentions.blocks", "up_blocks.attentions.blocks",
+         "mid_blocks.blocks"),
+    )
     unet = conform_params(unet, jax.eval_shape(lambda: init_unet(key, unet_cfg)), "sd-unet")
 
     with open(get("vae/config.json")) as f:

@@ -62,15 +62,16 @@ def _init_transformer_block(key, dims, num_heads, memory_dims, dtype):
 
 
 def _init_transformer2d(key, in_ch, model_dims, encoder_dims, num_heads, num_layers, groups, dtype):
-    ks = jax.random.split(key, num_layers + 2)
+    ks = jax.random.split(key, 3)
     return {
         "norm": _init_gn(in_ch, dtype),
         "proj_in": init_dense(ks[0], in_ch, model_dims, dtype=dtype),
-        "blocks": [
-            _init_transformer_block(ks[1 + i], model_dims, num_heads, encoder_dims, dtype)
-            for i in range(num_layers)
-        ],
-        "proj_out": init_dense(ks[-1], model_dims, in_ch, dtype=dtype),
+        # identical blocks stacked for lax.scan — SDXL has 10 per site at the
+        # deepest level; scanning keeps the HLO one block deep
+        "blocks": jax.vmap(
+            lambda k: _init_transformer_block(k, model_dims, num_heads, encoder_dims, dtype)
+        )(jax.random.split(ks[1], num_layers)),
+        "proj_out": init_dense(ks[2], model_dims, in_ch, dtype=dtype),
     }
 
 
@@ -214,8 +215,11 @@ def _transformer2d(p, x, memory, num_heads, groups):
     b, h, w, c = x.shape
     y = group_norm(x, p["norm"], groups).reshape(b, h * w, c)
     y = dense(p["proj_in"], y)
-    for blk in p["blocks"]:
-        y = _transformer_block(blk, y, memory, num_heads)
+
+    def step(carry, blk):
+        return _transformer_block(blk, carry, memory, num_heads), None
+
+    y, _ = jax.lax.scan(step, y, p["blocks"])
     y = dense(p["proj_out"], y)
     return x + y.reshape(b, h, w, c)
 
