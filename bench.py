@@ -25,8 +25,12 @@ import numpy as np
 
 # persistent XLA compilation cache: first-compile of the big programs (12B
 # flux denoise ~5 min, musicgen AR loop ~3 min through the tunnel) is paid
-# once per machine, not once per process
-jax.config.update("jax_compilation_cache_dir", "/tmp/fgt-jax-cache")
+# once per workspace, not once per process (lives in-repo, gitignored, so it
+# survives /tmp cleanup between driver rounds)
+import pathlib as _pathlib
+
+_cache = _pathlib.Path(__file__).parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
