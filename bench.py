@@ -273,11 +273,13 @@ def main():
                     choices=["sd21", "flux-schnell", "musicgen", "sdxl-turbo"])
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--size", type=int)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     try:
         if args.config == "flux-schnell":
-            result = bench_flux_schnell(steps=args.steps, size=args.size or 512)
+            result = bench_flux_schnell(steps=args.steps, size=args.size or 512,
+                                        batch=args.batch)
         elif args.config == "musicgen":
             result = bench_musicgen()
         elif args.config == "sdxl-turbo":
