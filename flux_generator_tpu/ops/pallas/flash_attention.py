@@ -44,6 +44,9 @@ def _rope_in_kernel(x, cos_e, sin_e):
     return x * cos_e + swapped * sin_e
 
 
+BLK_K = 1024
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                  o_ref, *, scale: float, l_actual: int, use_rope: bool):
     q = q_ref[0].astype(jnp.float32)
@@ -55,21 +58,54 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
         k = _rope_in_kernel(k, kcos_ref[0].astype(jnp.float32),
                             ksin_ref[0].astype(jnp.float32))
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BLK_Q, L)
-
     l_total = k.shape[0]
-    if l_actual < l_total:  # mask key padding
-        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kidx < l_actual, s, -jnp.inf)
+    if l_total <= BLK_K:
+        # one-shot path: whole (BLK_Q, L) logits tile fits VMEM
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if l_actual < l_total:  # mask key padding
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(kidx < l_actual, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / denom
+    else:
+        # blocked-K running-softmax (flash) path: the (BLK_Q, L) tile would
+        # blow VMEM at ≥1024² generation (L ≈ 4k-16k tokens)
+        n_kb = l_total // BLK_K
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / denom
+        def body(kb, carry):
+            m, l, acc = carry
+            ks = jax.lax.dynamic_slice_in_dim(k, kb * BLK_K, BLK_K, axis=0)
+            vs = jax.lax.dynamic_slice_in_dim(v, kb * BLK_K, BLK_K, axis=0)
+            s = jax.lax.dot_general(
+                q, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kidx = kb * BLK_K + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kidx < l_actual, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, vs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        blk_q, d = q.shape
+        init = (
+            jnp.full((blk_q, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((blk_q, 1), jnp.float32),
+            jnp.zeros((blk_q, d), jnp.float32),
+        )
+        m, l, acc = jax.lax.fori_loop(0, n_kb, body, init)
+        o = acc / l
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -87,6 +123,8 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
     use_rope = cos is not None
 
     l_pad = _round_up(l, BLK_Q)
+    if l_pad > BLK_K:  # blocked-K path needs whole K blocks
+        l_pad = _round_up(l, BLK_K)
     dtype = q.dtype
 
     def to_heads(x):

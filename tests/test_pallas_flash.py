@@ -35,6 +35,19 @@ def test_flash_with_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("l", [1500, 2048])
+def test_flash_blocked_k_long_sequence(l):
+    """Long sequences take the running-softmax blocked-K path."""
+    b, h, d = 1, 1, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_flash_fused_rope_matches_unfused():
     b, l, h, d = 2, 256, 2, 32
     ks = jax.random.split(jax.random.PRNGKey(2), 4)
