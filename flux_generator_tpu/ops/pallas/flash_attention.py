@@ -50,17 +50,18 @@ BLK_K = 1024
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                  o_ref, *, scale: float, l_actual: int, use_rope: bool):
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     if use_rope:
         q = _rope_in_kernel(q, qcos_ref[0].astype(jnp.float32),
                             qsin_ref[0].astype(jnp.float32))
-        k = _rope_in_kernel(k, kcos_ref[0].astype(jnp.float32),
-                            ksin_ref[0].astype(jnp.float32))
 
-    l_total = k.shape[0]
+    l_total = k_ref.shape[1]
     if l_total <= BLK_K:
         # one-shot path: whole (BLK_Q, L) logits tile fits VMEM
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        if use_rope:
+            k = _rope_in_kernel(k, kcos_ref[0].astype(jnp.float32),
+                                ksin_ref[0].astype(jnp.float32))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -75,13 +76,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
         ) / denom
     else:
         # blocked-K running-softmax (flash) path: the (BLK_Q, L) tile would
-        # blow VMEM at ≥1024² generation (L ≈ 4k-16k tokens)
+        # blow VMEM at ≥1024² generation (L ≈ 4k-16k tokens). K/V blocks are
+        # read from the refs per iteration (Mosaic lowers dynamic ref slices,
+        # not dynamic_slice on values).
         n_kb = l_total // BLK_K
 
         def body(kb, carry):
             m, l, acc = carry
-            ks = jax.lax.dynamic_slice_in_dim(k, kb * BLK_K, BLK_K, axis=0)
-            vs = jax.lax.dynamic_slice_in_dim(v, kb * BLK_K, BLK_K, axis=0)
+            ks = k_ref[0, pl.ds(kb * BLK_K, BLK_K), :].astype(jnp.float32)
+            vs = v_ref[0, pl.ds(kb * BLK_K, BLK_K), :].astype(jnp.float32)
+            if use_rope:
+                ks = _rope_in_kernel(
+                    ks,
+                    kcos_ref[0, pl.ds(kb * BLK_K, BLK_K), :].astype(jnp.float32),
+                    ksin_ref[0, pl.ds(kb * BLK_K, BLK_K), :].astype(jnp.float32),
+                )
             s = jax.lax.dot_general(
                 q, ks, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
