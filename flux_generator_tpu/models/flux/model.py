@@ -35,8 +35,9 @@ from ...runtime.config import use_pallas_attention
 
 def _rope_attention(q, k, v, cos, sin):
     """RoPE + SDPA: Pallas fused kernel on TPU, XLA einsum elsewhere
-    (runtime/config.py switch)."""
-    if use_pallas_attention():
+    (runtime/config.py switch). Lane-aligned head dims only — tiny test
+    configs fall back to XLA."""
+    if use_pallas_attention() and q.shape[-1] % 64 == 0:
         from ...ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, cos=cos, sin=sin)
