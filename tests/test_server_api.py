@@ -218,6 +218,25 @@ def test_404(server):
         assert e.code == 404
 
 
+def test_concurrent_requests_serialized(server):
+    """Two concurrent generations must both succeed — the generation lock
+    serializes them (the reference's REST path is unguarded, SURVEY §5)."""
+    results = []
+
+    def go():
+        results.append(
+            _post(server + "/sdapi/v1/txt2img",
+                  {"prompt": "x", "width": 64, "height": 64, "steps": 1})[0]
+        )
+
+    threads = [threading.Thread(target=go) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert results == [200, 200]
+
+
 def test_port_probing():
     port = find_available_port("127.0.0.1", 49500)
     assert check_port_available("127.0.0.1", port)
