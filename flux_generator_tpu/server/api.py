@@ -165,6 +165,13 @@ class FluxAPI:
             n_iter=request.n_iter,
             return_pil=False,
         )
+        stats = getattr(self, "last_stats", {})
+        stat_str = (
+            f" | cond {stats.get('conditioning_s')}s, gen {stats.get('generation_s')}s, "
+            f"decode {stats.get('decode_s')}s, peak HBM {stats.get('peak_hbm_gb')} GB"
+            if stats
+            else ""
+        )
         return SDAPIResponse(
             images=images,
             parameters={
@@ -177,7 +184,7 @@ class FluxAPI:
                 "seed": request.seed,
                 "model": request.model,
             },
-            info=f"Generated with Flux {request.model} model",
+            info=f"Generated with Flux {request.model} model{stat_str}",
         )
 
     def generate_images(

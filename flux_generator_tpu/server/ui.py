@@ -155,8 +155,10 @@ document.getElementById('img-go').onclick = async () => {
     const src = data.images[0].startsWith('data:') ? data.images[0]
       : 'data:image/png;base64,' + data.images[0];
     document.getElementById('image-out').innerHTML = `<img src="${src}">`;
+    const serverStats = (data.info || '').split('|')[1] || '';
     stats.textContent = `Total time: ${((performance.now()-t0)/1000).toFixed(1)} s\\n` +
-      `Model: ${body.model} · ${body.width}×${body.height} · ${body.steps} steps`;
+      `Model: ${body.model} · ${body.width}×${body.height} · ${body.steps} steps\\n` +
+      serverStats.trim();
   } catch (e) { stats.textContent = 'Error: ' + e.message; }
   clearInterval(timer); bar.hidden = true; btn.disabled = false;
 };
