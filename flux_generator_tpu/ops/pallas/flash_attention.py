@@ -45,6 +45,9 @@ def _rope_in_kernel(x, cos_e, sin_e):
 
 
 BLK_K = 1024
+# one-shot (single logits tile) up to this length: 256×2048 f32 = 2 MB VMEM.
+# Beyond it the blocked running-softmax path kicks in.
+ONE_SHOT_MAX = 2048
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -55,7 +58,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                             qsin_ref[0].astype(jnp.float32))
 
     l_total = k_ref.shape[1]
-    if l_total <= BLK_K:
+    if l_total <= ONE_SHOT_MAX:
         # one-shot path: whole (BLK_Q, L) logits tile fits VMEM
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
@@ -132,7 +135,7 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
     use_rope = cos is not None
 
     l_pad = _round_up(l, BLK_Q)
-    if l_pad > BLK_K:  # blocked-K path needs whole K blocks
+    if l_pad > ONE_SHOT_MAX:  # blocked-K path needs whole K blocks
         l_pad = _round_up(l, BLK_K)
     dtype = q.dtype
 
