@@ -37,7 +37,18 @@ def _w8a8_enabled() -> bool:
 
 def dense(p, x):
     if "kernel_q" in p:
-        if _w8a8_enabled() and p["kernel_q"].dtype == jnp.int8:
+        grouped = p["kernel_scale"].ndim == p["kernel_q"].ndim  # (…, g, out)
+        if grouped:
+            # per-group dequant: (…, g, G, out) * (…, g, 1, out)
+            q = p["kernel_q"]
+            g = p["kernel_scale"].shape[-2]
+            gs = q.shape[-2] // g
+            w = (
+                q.reshape(*q.shape[:-2], g, gs, q.shape[-1]).astype(x.dtype)
+                * p["kernel_scale"][..., :, None, :].astype(x.dtype)
+            ).reshape(q.shape)
+            y = x @ w
+        elif _w8a8_enabled() and p["kernel_q"].dtype == jnp.int8:
             # full int8 MXU path (~1.6x bf16 on v5e): per-token activation
             # scales x per-out-channel weight scales
             sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0

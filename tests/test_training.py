@@ -128,6 +128,35 @@ def test_quantize_int4():
     assert rel < 0.15
 
 
+def test_groupwise_quant_beats_per_channel_with_outliers():
+    """Real checkpoints have outlier input rows; per-group scales isolate
+    them (uniform random weights show no difference, so inject outliers)."""
+    key = jax.random.PRNGKey(0)
+    kern = jax.random.normal(key, (512, 64)) * 0.02
+    kern = kern.at[7].set(kern[7] * 50)  # one outlier input row
+    p = {"kernel": kern}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 512)) * 0.1
+    y = dense(p, x)
+
+    def err(q):
+        return float(jnp.linalg.norm(y - dense(q, x)) / jnp.linalg.norm(y))
+
+    per_channel = err(quantize_dense(p, bits=4))
+    grouped = err(quantize_dense(p, bits=4, group_size=64))
+    assert grouped < per_channel * 0.5
+
+
+def test_grouped_quant_stacked_kernels():
+    p = {"kernel": jax.random.normal(jax.random.PRNGKey(2), (3, 128, 32))}
+    q = quantize_dense(p, bits=8, group_size=64)
+    assert q["kernel_scale"].shape == (3, 2, 32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, 128))
+    y_full = x @ p["kernel"][1]
+    y_q = dense({k: v[1] for k, v in q.items()}, x)
+    rel = float(jnp.linalg.norm(y_full - y_q) / jnp.linalg.norm(y_full))
+    assert rel < 0.02
+
+
 def test_quantize_tree_predicate():
     tree = {
         "big": init_dense(jax.random.PRNGKey(0), 512, 8),
