@@ -35,7 +35,10 @@ def unflatten(flat: dict, stack_prefixes=()):
         if not isinstance(node, dict):
             return node
         if is_int_keyed(node):
-            items = [convert(node[str(i)], path + (str(i),)) for i in range(len(node))]
+            # fill index gaps with empty dicts — parameterless entries (e.g.
+            # EnCodec's ELU slots) never appear in checkpoints
+            n = max(int(i) for i in node) + 1
+            items = [convert(node.get(str(i), {}), path + (str(i),)) for i in range(n)]
             if path and ".".join(p for p in path if not p.isdigit()) in stack_prefixes:
                 return _stack_trees(items)
             return items

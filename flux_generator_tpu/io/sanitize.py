@@ -333,33 +333,61 @@ MUSICGEN_STACKS = ("layers",)
 
 # ------------------------------------------------------------ EnCodec
 
+def fuse_weight_norm(weights: dict) -> dict:
+    """Fuse torch weight_norm parametrization (weight_g/weight_v pairs, plus
+    the newer parametrizations.weight.original0/1 naming) into plain weights.
+    HF EnCodec checkpoints ship weight-normed convs; the mlx-community ones
+    are pre-fused."""
+    out = dict(weights)
+    pairs = []
+    for k in list(out):
+        if k.endswith(".weight_g"):
+            pairs.append((k, k[: -len("_g")] + "_v", k[: -len("_g")]))
+        elif k.endswith(".parametrizations.weight.original0"):
+            base = k[: -len(".parametrizations.weight.original0")] + ".weight"
+            pairs.append((k, k[: -1] + "1", base))
+    for gk, vk, wk in pairs:
+        g, v = np.asarray(out.pop(gk)), np.asarray(out.pop(vk))
+        norm = np.sqrt(np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
+        out[wk] = g * v / np.maximum(norm, 1e-12)
+    return out
+
+
 def sanitize_encodec(weights: dict, enc_spec, dec_spec) -> dict:
-    """HF/MLX EnCodec names → our spec-indexed lists. Names look like
-    encoder.layers.N.conv.weight / .lstm.{0,1}.Wx / decoder.layers.N.block.M...
-    (mlx-community checkpoints follow the reference module tree)."""
+    """EnCodec checkpoint names → our spec-indexed lists. Handles both the
+    HF transformers layout (weight-normed convs, nn.LSTM weight_ih_l0, ELUs
+    counted in layer indices, resnet convs at block.{1,3}) and the
+    mlx-community layout (pre-fused convs, lstm.N.Wx) — both share the same
+    inclusive layer numbering as our specs."""
+    weights = fuse_weight_norm(weights)
     out = {}
     for k, w in weights.items():
         w = np.asarray(w)
-        k = re.sub(r"\.conv\.conv\.", ".conv.", k)  # HF nests conv.conv
-        if re.search(r"\.lstm\.(\d+)\.", k) or ".lstm." in k:
-            # LSTM params: Wx/Wh (4H, D) → (D, 4H); torch names weight_ih_l0 etc.
-            k = re.sub(r"weight_ih_l(\d+)", r"lstm.\1.wx", k)
-            k = re.sub(r"weight_hh_l(\d+)", r"lstm.\1.wh", k)
-            k = re.sub(r"bias_ih_l(\d+)", r"lstm.\1.bias_ih", k)
-            k = re.sub(r"bias_hh_l(\d+)", r"lstm.\1.bias_hh", k)
+        k = re.sub(r"^(encoder|decoder)\.layers\.", r"\1.", k)
+        k = re.sub(r"\.conv\.conv\.", ".conv.", k)  # doubly-nested conv
+        # resnet inner list counts ELUs at even slots: block.{1,3} → block.{0,1}
+        k = re.sub(r"\.block\.(\d+)\.",
+                   lambda m: f".block.{int(m.group(1)) // 2}.", k)
+        if ".lstm." in k:
+            # torch nn.LSTM naming → per-layer {wx, wh, bias}; (4H, D) → (D, 4H)
+            k = re.sub(r"lstm\.weight_ih_l(\d+)", r"lstm.\1.wx", k)
+            k = re.sub(r"lstm\.weight_hh_l(\d+)", r"lstm.\1.wh", k)
+            k = re.sub(r"lstm\.bias_ih_l(\d+)", r"lstm.\1.bias_ih", k)
+            k = re.sub(r"lstm\.bias_hh_l(\d+)", r"lstm.\1.bias_hh", k)
+            # mlx naming
             k = re.sub(r"\.lstm\.(\d+)\.Wx$", r".lstm.\1.wx", k)
             k = re.sub(r"\.lstm\.(\d+)\.Wh$", r".lstm.\1.wh", k)
-            k = re.sub(r"\.lstm\.(\d+)\.bias$", r".lstm.\1.bias", k)
             if k.endswith((".wx", ".wh")):
                 out[k] = t_linear(w)
             else:
                 out[k] = w
             continue
         if "quantizer" in k:
-            # quantizer.layers.N.codebook.embed → quantizer.N.embed
-            k = re.sub(r"quantizer\.layers\.(\d+)\.codebook\.embed(_avg)?",
-                       r"quantizer.\1.embed\2", k)
-            if k.endswith("embed"):
+            # quantizer.layers.N.codebook.embed → quantizer.N.embed; drop EMA
+            # bookkeeping (embed_avg, cluster_size, inited)
+            k = re.sub(r"quantizer\.layers\.(\d+)\.codebook\.embed$",
+                       r"quantizer.\1.embed", k)
+            if k.endswith(".embed"):
                 out[k] = w
             continue
         if k.endswith(".weight") and w.ndim == 3:
@@ -373,7 +401,7 @@ def sanitize_encodec(weights: dict, enc_spec, dec_spec) -> dict:
             out[k[: -len(".weight")] + ".scale"] = w
         else:
             out[k] = w
-    # merge split lstm biases if present
+    # merge split lstm biases (torch keeps ih/hh separately; the cell adds them)
     merged = {}
     for k, w in list(out.items()):
         if k.endswith(".bias_ih"):
@@ -385,7 +413,7 @@ def sanitize_encodec(weights: dict, enc_spec, dec_spec) -> dict:
 
 
 def _is_convtr_key(key: str, dec_spec) -> bool:
-    m = re.search(r"decoder\.layers\.(\d+)\.", key)
+    m = re.search(r"^decoder\.(\d+)\.", key)
     if not m:
         return False
     idx = int(m.group(1))
