@@ -222,33 +222,38 @@ def generate(
 ):
     """Generate delay-pattern codes fully on-device.
 
-    conditioning: (1, S, hidden) projected text features (condition_text).
-    Returns codes (1, num_codebooks, max_steps - num_codebooks + 1) ready for
-    EnCodec decode (delay already undone)."""
+    conditioning: (n, S, hidden) projected text features (condition_text);
+    n samples generate in ONE batched AR loop (the reference generates one at
+    a time). Returns codes (n, num_codebooks, max_steps - num_codebooks + 1)
+    ready for EnCodec decode (delay already undone)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     K = cfg.num_codebooks
+    n = conditioning.shape[0]
     dtype = conditioning.dtype
 
-    # CFG: [cond, uncond] batch
+    # CFG: [cond..., uncond...] batch of 2n
     cond = jnp.concatenate([conditioning, jnp.zeros_like(conditioning)], axis=0)
     cross_kv = precompute_cross_kv(params, cfg, cond)
-    k_cache, v_cache = init_kv_cache(cfg, 2, max_steps, dtype)
+    k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, dtype)
 
-    audio_seq = jnp.full((max_steps + 1, K), cfg.bos_token_id, jnp.int32)
+    audio_seq = jnp.full((n, max_steps + 1, K), cfg.bos_token_id, jnp.int32)
 
     def step(carry, offset):
         seq, kc, vc = carry
-        tok = jax.lax.dynamic_slice(seq, (offset, 0), (1, K))[None]  # (1,1,K)
-        tok2 = jnp.tile(tok, (2, 1, 1))
+        tok = jax.lax.dynamic_slice(seq, (0, offset, 0), (n, 1, K))
+        tok2 = jnp.concatenate([tok, tok], axis=0)  # (2n, 1, K)
         logits, kc, vc = decode_step(params, cfg, tok2, cross_kv, kc, vc, offset)
-        cond_l, uncond_l = logits[0, 0], logits[1, 0]  # (V, K)
+        cond_l, uncond_l = logits[:n, 0], logits[n:, 0]  # (n, V, K)
         mixed = uncond_l + (cond_l - uncond_l) * guidance_coef
-        sampled = top_k_sample(jax.random.fold_in(key, offset), mixed, top_k, temperature)
+        step_key = jax.random.fold_in(key, offset)
+        sampled = jax.vmap(
+            lambda k_, lg: top_k_sample(k_, lg, top_k, temperature)
+        )(jax.random.split(step_key, n), mixed)  # (n, K)
         # delay pattern: codebook k live during steps [k, max_steps - K + k]
         ks = jnp.arange(K)
         live = (offset >= ks) & (offset <= max_steps - K + ks)
-        tok_next = jnp.where(live, sampled.astype(jnp.int32), cfg.bos_token_id)
-        seq = jax.lax.dynamic_update_slice(seq, tok_next[None], (offset + 1, 0))
+        tok_next = jnp.where(live[None], sampled.astype(jnp.int32), cfg.bos_token_id)
+        seq = jax.lax.dynamic_update_slice(seq, tok_next[:, None], (0, offset + 1, 0))
         return (seq, kc, vc), None
 
     (audio_seq, _, _), _ = jax.lax.scan(
@@ -258,7 +263,8 @@ def generate(
     # undo delay (musicgen.py:296-300): codebook k shifted back by k
     T_out = max_steps - K + 1
     cols = [
-        jax.lax.dynamic_slice(audio_seq[:, k], (k + 1,), (T_out,)) for k in range(K)
+        jax.lax.dynamic_slice(audio_seq[:, :, k], (0, k + 1), (n, T_out))
+        for k in range(K)
     ]
-    codes = jnp.stack(cols, axis=0)[None]  # (1, K, T_out)
+    codes = jnp.stack(cols, axis=1)  # (n, K, T_out)
     return codes

@@ -94,10 +94,17 @@ class MusicGenPipeline:
         guidance_coef: float = 3.0,
         seed: Optional[int] = None,
         conditioning=None,
+        n_samples: int = 1,
     ):
-        """Returns a waveform (T, C) float array in [-1, 1]."""
+        """Returns a waveform (T, C) in [-1, 1]; with n_samples > 1 the first
+        sample is returned and all are generated in one batched AR loop
+        (use `generate_batch` for all of them)."""
         if conditioning is None:
             conditioning = self.conditioning(text)
+        if n_samples > 1 and conditioning.shape[0] == 1:
+            conditioning = jnp.broadcast_to(
+                conditioning, (n_samples, *conditioning.shape[1:])
+            )
         key = jax.random.PRNGKey(0 if seed is None else seed)
         # bucket the step count so arbitrary UI slider values reuse one
         # compiled executable (same trick as the 16-px latent snap); the
@@ -111,3 +118,21 @@ class MusicGenPipeline:
         codes = codes[:, :, :want]
         audio = self.audio_decoder.decode(codes[None], [None])
         return audio[0]
+
+    def generate_batch(self, text: str, n_samples: int = 2, **kwargs):
+        """All n sample waveforms, generated in one batched AR loop."""
+        conditioning = self.conditioning(text)
+        conditioning = jnp.broadcast_to(
+            conditioning, (n_samples, *conditioning.shape[1:])
+        )
+        key = jax.random.PRNGKey(kwargs.pop("seed", 0) or 0)
+        max_steps = int(kwargs.pop("max_steps", 200))
+        bucket = max(64, -(-max_steps // 256) * 256)
+        codes = self._generate(
+            self.params, conditioning, key, bucket,
+            int(kwargs.pop("top_k", 250)), float(kwargs.pop("temp", 1.0)),
+            float(kwargs.pop("guidance_coef", 3.0)),
+        )
+        want = max_steps - self.cfg.num_codebooks + 1
+        codes = codes[:, :, :want]
+        return self.audio_decoder.decode(codes[None], [None])

@@ -125,6 +125,18 @@ def test_generate_codes_no_bos_leak(musicgen):
     assert (arr >= 0).all() and (arr < cfg.codebook_size).all()
 
 
+def test_generate_batched(musicgen):
+    """n samples in one AR loop; distinct per-sample keys → distinct codes."""
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cfg.hidden_size))
+    codes = mg.generate(musicgen.params, cfg, cond, max_steps=10, top_k=8,
+                        key=jax.random.PRNGKey(4))
+    assert codes.shape == (3, cfg.num_codebooks, 10 - cfg.num_codebooks + 1)
+    arr = np.asarray(codes)
+    assert (arr < cfg.codebook_size).all()
+    assert not np.array_equal(arr[0], arr[1])
+
+
 def test_generate_deterministic_per_seed(musicgen):
     cfg = musicgen.cfg
     cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
