@@ -40,6 +40,7 @@ INDEX_HTML = """<!DOCTYPE html>
 <header><h1>⚡ Flux Generator — TPU/JAX</h1></header>
 <div class="tabs">
   <div class="tab active" data-tab="image">Image Generation</div>
+  <div class="tab" data-tab="img2img">Image to Image</div>
   <div class="tab" data-tab="music">Music Generation</div>
 </div>
 
@@ -68,6 +69,28 @@ INDEX_HTML = """<!DOCTYPE html>
   <div class="output">
     <div id="image-out"></div>
     <div class="stats" id="img-stats">Ready.</div>
+  </div>
+</div>
+
+<div class="panel" id="panel-img2img">
+  <div class="controls">
+    <div><label>Source image</label><input id="i2i-file" type="file" accept="image/*"></div>
+    <div><label>Prompt</label><textarea id="i2i-prompt">a watercolor painting</textarea></div>
+    <div><label>Model</label>
+      <select id="i2i-model">
+        <option value="stabilityai/stable-diffusion-2-1-base">SD 2.1 Base</option>
+        <option value="stabilityai/sdxl-turbo">SDXL Turbo</option>
+      </select></div>
+    <div class="row">
+      <div><label>Strength</label><input id="i2i-strength" type="number" value="0.75" step="0.05" min="0" max="1"></div>
+      <div><label>Steps</label><input id="i2i-steps" type="number" value="50"></div>
+      <div><label>Guidance</label><input id="i2i-cfg" type="number" value="7.5" step="0.1"></div>
+    </div>
+    <button id="i2i-go">Transform Image</button>
+  </div>
+  <div class="output">
+    <div id="i2i-out"></div>
+    <div class="stats" id="i2i-stats">Ready.</div>
   </div>
 </div>
 
@@ -161,6 +184,38 @@ document.getElementById('img-go').onclick = async () => {
       serverStats.trim();
   } catch (e) { stats.textContent = 'Error: ' + e.message; }
   clearInterval(timer); bar.hidden = true; btn.disabled = false;
+};
+
+document.getElementById('i2i-go').onclick = async () => {
+  const btn = document.getElementById('i2i-go'), stats = document.getElementById('i2i-stats');
+  const file = document.getElementById('i2i-file').files[0];
+  if (!file) { stats.textContent = 'Pick a source image first.'; return; }
+  btn.disabled = true; stats.textContent = 'Transforming…';
+  const t0 = performance.now();
+  try {
+    const b64 = await new Promise((res, rej) => {
+      const r = new FileReader();
+      r.onload = () => res(r.result.split(',')[1]);
+      r.onerror = rej;
+      r.readAsDataURL(file);
+    });
+    const body = {
+      prompt: document.getElementById('i2i-prompt').value,
+      init_images: [b64],
+      model: document.getElementById('i2i-model').value,
+      denoising_strength: +document.getElementById('i2i-strength').value,
+      steps: +document.getElementById('i2i-steps').value,
+      cfg_scale: +document.getElementById('i2i-cfg').value,
+      width: 512, height: 512,
+    };
+    const r = await fetch('/sdapi/v1/img2img', {method: 'POST',
+      headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body)});
+    const data = await r.json();
+    if (!r.ok) throw new Error(data.detail || r.status);
+    document.getElementById('i2i-out').innerHTML = `<img src="${data.images[0]}">`;
+    stats.textContent = `Total time: ${((performance.now()-t0)/1000).toFixed(1)} s`;
+  } catch (e) { stats.textContent = 'Error: ' + e.message; }
+  btn.disabled = false;
 };
 
 document.getElementById('mus-example').onchange = (e) => {
