@@ -43,6 +43,54 @@ def bytes_to_unicode():
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+class _NativeBpe:
+    """ctypes wrapper over the C++ merge engine (csrc/clip_bpe.cpp).
+    Build with scripts/build_native.py; absent lib → Python fallback."""
+
+    def __init__(self, vocab: dict, merges: list, unk_id: int):
+        import ctypes
+        from pathlib import Path
+
+        lib_path = Path(__file__).parent.parent / "native" / "libfgt_tokenizer.so"
+        self._lib = ctypes.CDLL(str(lib_path))
+        self._lib.fgt_bpe_create.restype = ctypes.c_void_p
+        self._lib.fgt_bpe_encode_word.restype = ctypes.c_int32
+        self._lib.fgt_bpe_encode_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        self._h = ctypes.c_void_p(self._lib.fgt_bpe_create())
+        for tok, i in vocab.items():
+            self._lib.fgt_bpe_add_token(self._h, tok.encode(), ctypes.c_int32(i))
+        self._lib.fgt_bpe_set_unk(self._h, ctypes.c_int32(unk_id))
+        for rank, (a, b) in enumerate(merges):
+            self._lib.fgt_bpe_add_merge(
+                self._h, a.encode(), b.encode(), ctypes.c_int32(rank)
+            )
+        self._buf = (ctypes.c_int32 * 512)()
+
+    def encode_word(self, word: str):
+        n = self._lib.fgt_bpe_encode_word(self._h, word.encode(), self._buf, 512)
+        if n < 0:
+            return None  # overflow — caller falls back
+        return list(self._buf[:n])
+
+    def __del__(self):
+        try:
+            self._lib.fgt_bpe_destroy(self._h)
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+def _native_available() -> bool:
+    import os
+    from pathlib import Path
+
+    if os.environ.get("FGT_NATIVE_BPE", "auto").lower() in ("0", "off", "false"):
+        return False
+    return (Path(__file__).parent.parent / "native" / "libfgt_tokenizer.so").exists()
+
+
 class CLIPTokenizer:
     def __init__(self, vocab: dict, merges: list, max_length: int = 77):
         """vocab: token→id; merges: list of (a, b) pairs in rank order."""
@@ -52,6 +100,13 @@ class CLIPTokenizer:
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.byte_encoder = bytes_to_unicode()
         self._cache = {BOS: [BOS], EOS: [EOS]}
+        self._native = None
+        if _native_available():
+            try:
+                self._native = _NativeBpe(vocab, list(map(tuple, merges)),
+                                          vocab.get(EOS, 0))
+            except OSError:
+                self._native = None
 
     # -------------------------------------------------- constructors
 
@@ -146,6 +201,11 @@ class CLIPTokenizer:
         for w in words:
             if w not in (BOS, EOS):
                 w = "".join(self.byte_encoder[b] for b in w.encode("utf-8"))
+            if self._native is not None and w not in (BOS, EOS):
+                native_ids = self._native.encode_word(w)
+                if native_ids is not None:
+                    ids.extend(native_ids)
+                    continue
             for piece in self._bpe(w):
                 ids.append(self.vocab.get(piece, unk))
 
