@@ -235,15 +235,25 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
     }
 
 
-def bench_musicgen(max_steps: int = 50, repeats: int = 3):
+def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False):
     """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
     ms/step (the reference's bench_mx.py protocol). Zero weights, honest
-    shapes: 48 layers, hidden 1536, batch 2 (CFG)."""
+    shapes: 48 layers, hidden 1536, batch 2 (CFG). quantize=True uses int8
+    weights — the AR loop is HBM-bound (~3 GB of weights per step), so this
+    roughly halves step time."""
     from flux_generator_tpu.models.musicgen import model as mg
+    from flux_generator_tpu.ops.quant import quantize_tree
 
     cfg = mg.MusicGenConfig()
     dtype = jnp.bfloat16
-    shape = jax.eval_shape(lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype))
+    if quantize:
+        shape = jax.eval_shape(
+            lambda: quantize_tree(mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype))
+        )
+    else:
+        shape = jax.eval_shape(
+            lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype)
+        )
     params = _zeros_like_tree(shape)
     cond = jnp.zeros((1, 12, cfg.hidden_size), dtype)
 
@@ -281,7 +291,11 @@ def main():
             result = bench_flux_schnell(steps=args.steps, size=args.size or 512,
                                         batch=args.batch)
         elif args.config == "musicgen":
-            result = bench_musicgen()
+            import os
+
+            result = bench_musicgen(
+                quantize=os.environ.get("FGT_QUANTIZE", "0") == "1"
+            )
         elif args.config == "sdxl-turbo":
             result = bench_sdxl_turbo(size=args.size or 512)
         else:

@@ -132,8 +132,10 @@ def precompute_cross_kv(params, cfg: MusicGenConfig, conditioning):
     Returns (L, B, S, H, Dh) pair."""
     h = cfg.hidden_size
 
+    from ...ops.linear import materialize_kernel
+
     def one(layer_p):
-        kern = layer_p["cross_attn"]["qkv"]["kernel"].astype(conditioning.dtype)
+        kern = materialize_kernel(layer_p["cross_attn"]["qkv"], conditioning.dtype)
         k = _heads(conditioning @ kern[:, h : 2 * h], cfg.num_attention_heads)
         v = _heads(conditioning @ kern[:, 2 * h :], cfg.num_attention_heads)
         return k, v
@@ -182,9 +184,9 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         x = x + dense(p["self_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm_cross"])
-        q = _heads(
-            y @ p["cross_attn"]["qkv"]["kernel"].astype(y.dtype)[:, :hid], h
-        )
+        from ...ops.linear import materialize_kernel as _mk
+
+        q = _heads(y @ _mk(p["cross_attn"]["qkv"], y.dtype)[:, :hid], h)
         attn = dot_product_attention(q, ck, cv)
         x = x + dense(p["cross_attn"]["o"], attn.reshape(b, 1, -1))
 

@@ -29,6 +29,23 @@ def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtyp
     return p
 
 
+def materialize_kernel(p, dtype):
+    """Return the (in, out) kernel in `dtype`, dequantizing if needed — for
+    call sites that slice kernels directly instead of going through dense()."""
+    if "kernel_q" in p:
+        q = p["kernel_q"]
+        scale = p["kernel_scale"]
+        if scale.ndim == q.ndim:  # grouped (…, g, out)
+            g = scale.shape[-2]
+            gs = q.shape[-2] // g
+            return (
+                q.reshape(*q.shape[:-2], g, gs, q.shape[-1]).astype(dtype)
+                * scale[..., :, None, :].astype(dtype)
+            ).reshape(q.shape)
+        return q.astype(dtype) * scale.astype(dtype)[..., None, :]
+    return p["kernel"].astype(dtype)
+
+
 def _w8a8_enabled() -> bool:
     import os
 
