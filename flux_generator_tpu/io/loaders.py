@@ -331,7 +331,7 @@ def load_sd_pipeline(model: str = "stabilityai/stable-diffusion-2-1-base",
 
 
 def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfloat16,
-                           local_dir: Optional[str] = None):
+                           local_dir: Optional[str] = None, quantize: bool = False):
     """MusicGen ships torch state_dict.bin; converted here at load (one-time)
     — the reference does the same via torch.load (musicgen.py:352)."""
     from ..models.musicgen.encodec import EncodecConfig, EncodecModel, decoder_spec, encoder_spec, init_encodec
@@ -402,7 +402,14 @@ def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfl
     )
     codec = EncodecModel(enc_cfg, cast_tree(enc_params, jnp.float32))
 
+    params = cast_tree(params, dtype)
+    t5 = cast_tree(t5, dtype)
+    if quantize:
+        # int8 weights ~1.5x the AR step rate (HBM-bound loop, BENCH_RESULTS)
+        from ..ops.quant import quantize_tree
+
+        params = quantize_tree(params)
+        t5 = quantize_tree(t5)
     return MusicGenPipeline(
-        cfg, cast_tree(params, dtype), t5_cfg, cast_tree(t5, dtype), codec,
-        tokenizer=tokenizer, dtype=dtype,
+        cfg, params, t5_cfg, t5, codec, tokenizer=tokenizer, dtype=dtype,
     )

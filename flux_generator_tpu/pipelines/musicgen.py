@@ -74,10 +74,11 @@ class MusicGenPipeline:
         )
 
     @classmethod
-    def from_pretrained(cls, repo: str = "facebook/musicgen-medium", dtype=jnp.bfloat16):
+    def from_pretrained(cls, repo: str = "facebook/musicgen-medium",
+                        dtype=jnp.bfloat16, quantize: bool = False):
         from ..io.loaders import load_musicgen_pipeline
 
-        return load_musicgen_pipeline(repo, dtype=dtype)
+        return load_musicgen_pipeline(repo, dtype=dtype, quantize=quantize)
 
     def conditioning(self, text: str):
         if self.tokenizer is None:

@@ -144,9 +144,13 @@ class FluxAPI:
             if self._music_factory is not None:
                 self.music_pipeline = self._music_factory()
             else:
+                import os
+
                 from ..pipelines.musicgen import MusicGenPipeline
 
-                self.music_pipeline = MusicGenPipeline.from_pretrained()
+                self.music_pipeline = MusicGenPipeline.from_pretrained(
+                    quantize=os.environ.get("FGT_QUANTIZE", "0") == "1"
+                )
         return self.music_pipeline
 
     # -------------------------------------------------- txt2img
