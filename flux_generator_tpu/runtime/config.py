@@ -25,4 +25,8 @@ def use_pallas_attention() -> bool:
 
 
 def use_pallas_lstm() -> bool:
-    return _flag("FGT_PALLAS_LSTM")
+    # opt-in (default off): the kernel is verified standalone on TPU but the
+    # remote compiler currently rejects it embedded in the full EnCodec
+    # decode program (see NOTES.md); scan-LSTM is within ~10 ms/generation
+    v = os.environ.get("FGT_PALLAS_LSTM", "0").lower()
+    return v not in ("0", "off", "false", "no", "auto")
