@@ -5,9 +5,17 @@ Split as the reference does: the input projection x@Wx+b is one big MXU
 matmul OUTSIDE the kernel; the kernel runs the sequential recurrence
     gates_t = xw_t + h @ Wh ;  (i, f, g, o) = split(gates)
     c = σ(f)·c + σ(i)·tanh(g) ;  h = σ(o)·tanh(c)
-with Wh RESIDENT IN VMEM for the whole sequence (a lax.scan re-reads the
-recurrent weights from HBM every step — ~8 MB × T of traffic at EnCodec
-size). The TPU grid is sequential, so h/c live in scratch across time blocks.
+with Wh DMA'd ONCE from HBM into VMEM scratch and resident for the whole
+sequence (a lax.scan re-reads the recurrent weights from HBM every step —
+~8 MB × T of traffic at EnCodec size).
+
+Layout notes (hard-won on real hardware):
+  - one TIMESTEP per grid step (grid is sequential on TPU): Mosaic rejects
+    dynamic row loads that aren't sublane-aligned, and (T, 1, D) layouts pad
+    the size-1 dim to a full sublane tile (16x VMEM);
+  - h/c persist in scratch across grid steps, reset at each batch row;
+  - Wh comes in via HBM memory space so the pipeline doesn't double-buffer
+    8 MB, and goes bf16 above 4 MB.
 """
 
 from __future__ import annotations
@@ -19,27 +27,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_BLK = 128
+ROWS = 8  # timesteps per grid step (min sublane-aligned block)
 
 
-def _lstm_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref, *, t_actual: int):
-    ti = pl.program_id(0)
+def _lstm_kernel(xw_ref, wh_hbm, out_ref, h_ref, c_ref, wh_vmem, dma_sem,
+                 *, t_actual: int):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(bi == 0, ti == 0))
+    def _():
+        dma = pltpu.make_async_copy(wh_hbm, wh_vmem, dma_sem)
+        dma.start()
+        dma.wait()
 
     @pl.when(ti == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    wh = wh_ref[:]  # bf16-resident: f32 would be 16 MB at EnCodec size
+    wh = wh_vmem[:]
     d = h_ref.shape[-1]
-
-    def step(t, _):
-        # time is the LEADING ref axis — Mosaic supports dynamic indexing
-        # only there
-        @pl.when(ti * T_BLK + t < t_actual)
-        def _():
+    # statically-unrolled loop over the 8 rows of this block: Mosaic allows
+    # only static (or 8-aligned) row slices in VMEM
+    for r in range(ROWS):
+        @pl.when(ti * ROWS + r < t_actual)
+        def _(r=r):
             h = h_ref[:]
-            gates = xw_ref[t].astype(jnp.float32) + jax.lax.dot_general(
+            gates = xw_ref[r : r + 1, :].astype(jnp.float32) + jax.lax.dot_general(
                 h.astype(wh.dtype), wh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -51,11 +66,7 @@ def _lstm_kernel(xw_ref, wh_ref, out_ref, h_ref, c_ref, *, t_actual: int):
             h_new = o * jnp.tanh(c)
             c_ref[:] = c
             h_ref[:] = h_new
-            out_ref[t] = h_new.astype(out_ref.dtype)
-
-        return _
-
-    jax.lax.fori_loop(0, T_BLK, lambda t, carry: (step(t, carry), carry)[1], 0)
+            out_ref[r : r + 1, :] = h_new.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -64,31 +75,36 @@ def lstm_pallas(p, x, interpret: bool = False):
     Returns hidden states (B, T, D). Matches encodec.lstm_forward."""
     b, t, _ = x.shape
     d = p["wh"].shape[0]
-    # keep resident weights f32 while they fit VMEM comfortably; EnCodec's
-    # 1024-dim LSTM (16 MB f32 Wh) must go bf16
     wh_dtype = jnp.float32 if 4 * d * 4 * d <= 4 * 1024 * 1024 else jnp.bfloat16
     xw = (x @ p["wx"].astype(x.dtype) + p["bias"].astype(x.dtype)).astype(wh_dtype)
 
-    t_pad = (t + T_BLK - 1) // T_BLK * T_BLK
+    t_pad = (t + ROWS - 1) // ROWS * ROWS
     if t_pad != t:
         xw = jnp.pad(xw, ((0, 0), (0, t_pad - t), (0, 0)))
-    xw = xw.transpose(1, 0, 2)  # time-major for dynamic leading-axis indexing
+    n_t = t_pad // ROWS
+    xw2 = xw.reshape(b * t_pad, 4 * d)
 
     out = pl.pallas_call(
         functools.partial(_lstm_kernel, t_actual=t),
-        grid=(t_pad // T_BLK,),
+        grid=(b, n_t),
         in_specs=[
-            pl.BlockSpec((T_BLK, b, 4 * d), lambda ti: (ti, 0, 0),
+            pl.BlockSpec((ROWS, 4 * d), lambda bi, ti: (bi * n_t + ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 4 * d), lambda ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((T_BLK, b, d), lambda ti: (ti, 0, 0),
+        out_specs=pl.BlockSpec((ROWS, d), lambda bi, ti: (bi * n_t + ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, b, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t_pad, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((b, d), jnp.float32),
-            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((d, 4 * d), wh_dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=d * 4 * d * (2 if wh_dtype == jnp.bfloat16 else 4)
+            + 2 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(xw, p["wh"].astype(wh_dtype))
-    return out.transpose(1, 0, 2)[:, :t]
+    )(xw2, p["wh"].astype(wh_dtype))
+    return out.reshape(b, t_pad, d)[:, :t]
