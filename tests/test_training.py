@@ -157,6 +157,19 @@ def test_grouped_quant_stacked_kernels():
     assert rel < 0.02
 
 
+def test_grouped_quant_ignores_w8a8(monkeypatch):
+    """Grouped scales take the dequant path even with FGT_W8A8=1 (the int8
+    MXU path only supports per-channel scales)."""
+    monkeypatch.setenv("FGT_W8A8", "1")
+    p = init_dense(jax.random.PRNGKey(0), 512, 64)
+    q = quantize_dense(p, bits=8, group_size=64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
+    rel = float(
+        jnp.linalg.norm(dense(p, x) - dense(q, x)) / jnp.linalg.norm(dense(p, x))
+    )
+    assert rel < 0.01
+
+
 def test_quantize_tree_predicate():
     tree = {
         "big": init_dense(jax.random.PRNGKey(0), 512, 8),
