@@ -221,14 +221,23 @@ def generate(
     temperature: float = 1.0,
     guidance_coef: float = 3.0,
     key=None,
+    live_steps=None,
 ):
     """Generate delay-pattern codes fully on-device.
 
     conditioning: (n, S, hidden) projected text features (condition_text);
     n samples generate in ONE batched AR loop (the reference generates one at
     a time). Returns codes (n, num_codebooks, max_steps - num_codebooks + 1)
-    ready for EnCodec decode (delay already undone)."""
+    ready for EnCodec decode (delay already undone).
+
+    live_steps: optional traced scalar — the *requested* step count when
+    max_steps is a padded compile bucket. The delay-pattern ramp-down window
+    follows live_steps so the reference's tail semantics (last K-1 frames
+    masked to BOS) hold at the requested length, while the scan length (and
+    the compiled executable) stays the bucket."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    if live_steps is None:
+        live_steps = max_steps
     K = cfg.num_codebooks
     n = conditioning.shape[0]
     dtype = conditioning.dtype
@@ -251,9 +260,9 @@ def generate(
         sampled = jax.vmap(
             lambda k_, lg: top_k_sample(k_, lg, top_k, temperature)
         )(jax.random.split(step_key, n), mixed)  # (n, K)
-        # delay pattern: codebook k live during steps [k, max_steps - K + k]
+        # delay pattern: codebook k live during steps [k, live_steps - K + k]
         ks = jnp.arange(K)
-        live = (offset >= ks) & (offset <= max_steps - K + ks)
+        live = (offset >= ks) & (offset <= live_steps - K + ks)
         tok_next = jnp.where(live[None], sampled.astype(jnp.int32), cfg.bos_token_id)
         seq = jax.lax.dynamic_update_slice(seq, tok_next[:, None], (0, offset + 1, 0))
         return (seq, kc, vc), None

@@ -46,10 +46,27 @@ def materialize_kernel(p, dtype):
     return p["kernel"].astype(dtype)
 
 
-def _w8a8_enabled() -> bool:
-    import os
+_W8A8_STATE: dict = {"enabled": None}
 
-    return os.environ.get("FGT_W8A8", "0") == "1"
+
+def set_w8a8(enabled) -> None:
+    """Explicitly resolve the W8A8 int8-activation matmul path. Call BEFORE
+    building/compiling pipelines — the flag is baked into traced programs, so
+    flipping it later (or changing FGT_W8A8 in a live server) has no effect
+    on already-compiled executables (ADVICE r1). None = re-read the env var
+    on next use."""
+    _W8A8_STATE["enabled"] = enabled
+
+
+def w8a8_enabled() -> bool:
+    if _W8A8_STATE["enabled"] is None:
+        import os
+
+        _W8A8_STATE["enabled"] = os.environ.get("FGT_W8A8", "0") == "1"
+    return _W8A8_STATE["enabled"]
+
+
+_w8a8_enabled = w8a8_enabled  # back-compat alias
 
 
 def dense(p, x):

@@ -44,8 +44,9 @@ class MusicGenPipeline:
             )
         )
         self._generate = jax.jit(
-            lambda p, cond, key, max_steps, top_k, temp, guidance: mg.generate(
-                p, self.cfg, cond, max_steps, top_k, temp, guidance, key
+            lambda p, cond, key, max_steps, top_k, temp, guidance, live: mg.generate(
+                p, self.cfg, cond, max_steps, top_k, temp, guidance, key,
+                live_steps=live,
             ),
             static_argnums=(3, 4),
         )
@@ -109,11 +110,12 @@ class MusicGenPipeline:
         key = jax.random.PRNGKey(0 if seed is None else seed)
         # bucket the step count so arbitrary UI slider values reuse one
         # compiled executable (same trick as the 16-px latent snap); the
-        # sampled prefix is identical because per-step keys fold by offset
+        # requested max_steps is threaded in as a traced scalar so the
+        # delay-pattern ramp-down matches reference semantics exactly
         bucket = max(64, -(-int(max_steps) // 256) * 256)
         codes = self._generate(
             self.params, conditioning, key, bucket, int(top_k),
-            float(temp), float(guidance_coef),
+            float(temp), float(guidance_coef), jnp.int32(max_steps),
         )
         want = int(max_steps) - self.cfg.num_codebooks + 1
         codes = codes[:, :, :want]
@@ -132,7 +134,7 @@ class MusicGenPipeline:
         codes = self._generate(
             self.params, conditioning, key, bucket,
             int(kwargs.pop("top_k", 250)), float(kwargs.pop("temp", 1.0)),
-            float(kwargs.pop("guidance_coef", 3.0)),
+            float(kwargs.pop("guidance_coef", 3.0)), jnp.int32(max_steps),
         )
         want = max_steps - self.cfg.num_codebooks + 1
         codes = codes[:, :, :want]

@@ -97,7 +97,10 @@ class FluxAPI:
     def __init__(self, pipeline_factory=None, sd_factory=None):
         self.pipeline = None
         self.sd_pipeline = None
-        self.current_model = None
+        # model names are tracked per slot so alternating flux/SD requests
+        # don't evict each other's resident pipeline (ADVICE r1)
+        self.current_flux_model = None
+        self.current_sd_model = None
         self.progress = ProgressTracker()
         self._gen_lock = threading.Lock()
         self._pipeline_factory = pipeline_factory
@@ -111,7 +114,7 @@ class FluxAPI:
         """One flux slot + one sd slot, keyed by model name
         (flux_app.py:71-88)."""
         if model.startswith("stabilityai/"):
-            if self.sd_pipeline is None or self.current_model != model:
+            if self.sd_pipeline is None or self.current_sd_model != model:
                 if self._sd_factory is not None:
                     self.sd_pipeline = self._sd_factory(model)
                 else:
@@ -119,10 +122,10 @@ class FluxAPI:
 
                     cls = StableDiffusionXL if "sdxl-turbo" in model else StableDiffusion
                     self.sd_pipeline = cls.from_pretrained(model)
-                self.current_model = model
+                self.current_sd_model = model
             return self.sd_pipeline
         flux_model = model if model.startswith("flux-") else f"flux-{model}"
-        if self.pipeline is None or self.current_model != flux_model:
+        if self.pipeline is None or self.current_flux_model != flux_model:
             if self._pipeline_factory is not None:
                 self.pipeline = self._pipeline_factory(flux_model)
             else:
@@ -134,7 +137,7 @@ class FluxAPI:
                     flux_model,
                     quantize=os.environ.get("FGT_QUANTIZE", "0") == "1",
                 )
-            self.current_model = flux_model
+            self.current_flux_model = flux_model
         return self.pipeline
 
     def init_music_pipeline(self):

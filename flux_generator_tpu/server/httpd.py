@@ -94,15 +94,10 @@ def make_handler(api: FluxAPI):
 
                     from ..utils.audio import save_audio
 
+                    # scipy wavfile.write accepts file objects — no temp file
                     buf = _io.BytesIO()
-                    import tempfile, os
-
-                    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-                        tmp = f.name
-                    save_audio(tmp, audio, sr)
-                    with open(tmp, "rb") as f:
-                        wav = f.read()
-                    os.unlink(tmp)
+                    save_audio(buf, audio, sr)
+                    wav = buf.getvalue()
                     self._json(200, {
                         "audio": "data:audio/wav;base64," + base64.b64encode(wav).decode(),
                         "sampling_rate": sr,

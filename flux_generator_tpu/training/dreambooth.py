@@ -37,12 +37,19 @@ def build_optimizer(learning_rate: float, warmup: int, total: int, trainable_mas
         ],
         [warmup],
     )
-    return optax.masked(optax.adam(schedule), trainable_mask)
+    # optax.masked alone passes the RAW gradient through as the update for
+    # unmasked leaves — frozen base weights must get set_to_zero explicitly.
+    labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+    return optax.multi_transform(
+        {"train": optax.adam(schedule), "freeze": optax.set_to_zero()}, labels
+    )
 
 
-def make_train_step(pipeline, optimizer, grad_accumulate: int):
+def make_train_step(pipeline, optimizer, grad_accumulate: int, block_mask=None):
     """Returns a jitted step(params, opt_state, accum, key, batch, i) with
-    static (is_first, should_step)."""
+    static (is_first, should_step). block_mask (per-leaf 0/1 multipliers over
+    the stacked layer axis) restricts LoRA training to the last N blocks —
+    the GSPMD equivalent of the reference's linear_to_lora_layers block cut."""
 
     @partial(jax.jit, static_argnames=("is_first", "should_step"))
     def step(flow_params, opt_state, accum, key, x0, t5f, clipf, guidance,
@@ -51,6 +58,10 @@ def make_train_step(pipeline, optimizer, grad_accumulate: int):
             return pipeline.training_loss(fp, key, x0, t5f, clipf, guidance)
 
         loss, grads = jax.value_and_grad(loss_fn)(flow_params)
+        if block_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: (g * m).astype(g.dtype), grads, block_mask
+            )
         if is_first:
             accum = grads
         else:
@@ -118,6 +129,12 @@ def train(args, pipeline=None, dataset=None):
     import math
 
     n_data = math.gcd(args.batch_size, len(jax.devices()))
+    if n_data < len(jax.devices()):
+        print(
+            f"WARNING: batch size {args.batch_size} not divisible by "
+            f"{len(jax.devices())} devices; training on {n_data} device(s)",
+            flush=True,
+        )
     mesh = create_mesh(data=n_data, model=1,
                        devices=jax.devices()[:n_data])
     flow = jax.device_put(flow, logical_sharding(flow, mesh))
@@ -136,7 +153,10 @@ def train(args, pipeline=None, dataset=None):
             start_iter, flow, opt_state = restored
             pipeline.params["flow"] = flow
             print(f"Resumed from step {start_iter}", flush=True)
-    step_fn = make_train_step(pipeline, optimizer, args.grad_accumulate)
+    step_fn = make_train_step(
+        pipeline, optimizer, args.grad_accumulate,
+        block_mask=block_mask if args.lora_blocks > 0 else None,
+    )
 
     trainer = Trainer(
         pipeline, dataset, resolution=args.resolution,

@@ -28,7 +28,15 @@ def real_server():
         pipe.t5_tokenizer = _TokStub()
         return pipe
 
+    def music_factory():
+        from flux_generator_tpu.pipelines.musicgen import MusicGenPipeline
+
+        pipe = MusicGenPipeline.random_init()
+        pipe.tokenizer = _TokStub()
+        return pipe
+
     api = FluxAPI(pipeline_factory=factory)
+    api._music_factory = music_factory
     srv = Server(api, "127.0.0.1", 0)
     srv.start_background()
     yield f"http://127.0.0.1:{srv.port}"
@@ -63,6 +71,29 @@ def test_real_txt2img_over_http(real_server):
     pil = Image.open(io.BytesIO(raw))
     # 64px request → 8×8 latent → tiny AE (one upsample level) → 16×16 pixels
     assert pil.size == (16, 16)
+
+
+def test_real_music_over_http(real_server):
+    """POST /api/music returns a decodable base64 WAV (regression: the
+    handler previously leaked a temp file on error paths — now pure BytesIO)."""
+    req = urllib.request.Request(
+        real_server + "/api/music",
+        json.dumps({"prompt": "piano", "max_steps": 8, "top_k": 4,
+                    "seed": 1}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        data = json.loads(r.read())
+    assert r.status == 200
+    assert data["audio"].startswith("data:audio/wav;base64,")
+    import base64
+    import io
+    import wave
+
+    raw = base64.b64decode(data["audio"].split(",", 1)[1])
+    with wave.open(io.BytesIO(raw)) as w:
+        assert w.getframerate() == data["sampling_rate"]
+        assert w.getnframes() > 0
 
 
 def test_same_seed_same_image(real_server):

@@ -137,6 +137,28 @@ def test_generate_batched(musicgen):
     assert not np.array_equal(arr[0], arr[1])
 
 
+def test_generate_bucket_padding_matches_unpadded(musicgen):
+    """A padded compile bucket with live_steps=R must produce byte-identical
+    codes to an unpadded max_steps=R run (ADVICE r1: the ramp-down window
+    previously followed the bucket, diverging in the last K-1 frames)."""
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    R = 12
+    direct = mg.generate(musicgen.params, cfg, cond, max_steps=R, top_k=4,
+                         key=jax.random.PRNGKey(3))
+    bucketed = mg.generate(musicgen.params, cfg, cond, max_steps=64, top_k=4,
+                           key=jax.random.PRNGKey(3),
+                           live_steps=jnp.int32(R))
+    want = R - cfg.num_codebooks + 1
+    np.testing.assert_array_equal(
+        np.asarray(direct), np.asarray(bucketed)[:, :, :want]
+    )
+    # past the live window the ramp-down must have masked every codebook to
+    # BOS — the sharp signal that live_steps (not the bucket) drives the ramp
+    tail = np.asarray(bucketed)[:, :, want:]
+    assert (tail == cfg.bos_token_id).all()
+
+
 def test_generate_deterministic_per_seed(musicgen):
     cfg = musicgen.cfg
     cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))

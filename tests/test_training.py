@@ -88,6 +88,56 @@ def test_dreambooth_tiny_end_to_end(tmp_path):
     assert lora_keys
 
 
+@pytest.mark.slow
+def test_dreambooth_freeze_and_block_mask(tmp_path):
+    """Base weights must stay exactly frozen (optax.masked alone leaks raw
+    grads into unmasked leaves — regression for ADVICE r1 medium), and
+    --lora-blocks N must restrict training to the LAST N blocks (tiny config:
+    2 double + 2 single, so blocks=2 trains only the single blocks)."""
+    _make_dataset(tmp_path)
+    pipe = FluxPipeline.random_init("flux-schnell", tiny=True, dtype=jnp.float32)
+    pipe.clip_tokenizer = _TokStub()
+    pipe.t5_tokenizer = _TokStub()
+    base_before = jax.tree.map(np.asarray, pipe.params["flow"])
+
+    args = build_parser().parse_args([
+        str(tmp_path), "--model", "schnell", "--iterations", "2",
+        "--batch-size", "2", "--resolution", "32x32", "--num-augmentations", "2",
+        "--grad-accumulate", "1", "--lora-rank", "2", "--lora-blocks", "2",
+        "--progress-every", "0", "--checkpoint-every", "0", "--warmup-steps", "1",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    ds = load_dataset(str(tmp_path))
+    trained = train(args, pipeline=pipe, dataset=ds)
+    flow = trained.params["flow"]
+
+    # every non-lora leaf is bit-identical to its pre-training value
+    def _paths(t):
+        return {
+            "/".join(str(k) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(t)
+        }
+
+    before, after = _paths(base_before), _paths(flow)
+    checked_frozen = 0
+    for path, val in after.items():
+        if "lora" in path:
+            continue
+        np.testing.assert_array_equal(val, before[path], err_msg=path)
+        checked_frozen += 1
+    assert checked_frozen > 10
+
+    # masked-out double blocks: lora_b still exactly zero; trained single
+    # blocks: lora_b has moved
+    dbl_b = [np.asarray(v) for p, v in jax.tree_util.tree_leaves_with_path(flow["double_blocks"])
+             if "lora_b" in "/".join(str(k) for k in p)]
+    sgl_b = [np.asarray(v) for p, v in jax.tree_util.tree_leaves_with_path(flow["single_blocks"])
+             if "lora_b" in "/".join(str(k) for k in p)]
+    assert dbl_b and sgl_b
+    assert all(not a.any() for a in dbl_b), "masked-out double blocks trained"
+    assert any(a.any() for a in sgl_b), "unmasked single blocks did not train"
+
+
 def test_save_config_sorted(tmp_path):
     save_config(tmp_path / "c.json", {"b": 2, "a": 1, "fn": lambda: 0})
     with open(tmp_path / "c.json") as f:
@@ -106,8 +156,17 @@ def test_quantize_dense_roundtrip():
     assert rel < 0.05
 
 
-def test_w8a8_compute_path(monkeypatch):
-    monkeypatch.setenv("FGT_W8A8", "1")
+def test_w8a8_compute_path():
+    from flux_generator_tpu.ops.linear import set_w8a8
+
+    set_w8a8(True)
+    try:
+        _check_w8a8_compute()
+    finally:
+        set_w8a8(None)
+
+
+def _check_w8a8_compute():
     p = init_dense(jax.random.PRNGKey(0), 512, 128)
     q = quantize_dense(p)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 512))
@@ -157,10 +216,19 @@ def test_grouped_quant_stacked_kernels():
     assert rel < 0.02
 
 
-def test_grouped_quant_ignores_w8a8(monkeypatch):
-    """Grouped scales take the dequant path even with FGT_W8A8=1 (the int8
+def test_grouped_quant_ignores_w8a8():
+    """Grouped scales take the dequant path even with W8A8 on (the int8
     MXU path only supports per-channel scales)."""
-    monkeypatch.setenv("FGT_W8A8", "1")
+    from flux_generator_tpu.ops.linear import set_w8a8
+
+    set_w8a8(True)
+    try:
+        _check_grouped_ignores_w8a8()
+    finally:
+        set_w8a8(None)
+
+
+def _check_grouped_ignores_w8a8():
     p = init_dense(jax.random.PRNGKey(0), 512, 64)
     q = quantize_dense(p, bits=8, group_size=64)
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
