@@ -376,8 +376,35 @@ class EncodecModel:
         self.params = params
         self._enc_spec = encoder_spec(cfg)
         self._dec_spec = decoder_spec(cfg)
-        self._decode_frame_jit = jax.jit(self._decode_frame)
+        # decode runs as TWO jitted programs split right after the LSTM
+        # stage: the Pallas LSTM kernel plus the full upsampling conv stack
+        # in ONE program exceeds XLA's 128 MB vmem scheduling budget on TPU
+        # (round-1 NOTES #10: "Used 135.82M of 128.00M"); split, each program
+        # schedules comfortably and the kernel ships enabled by default.
+        lstm_idx = [i for i, e in enumerate(self._dec_spec) if e[0] == "lstm"]
+        self._dec_split = (lstm_idx[-1] + 1) if lstm_idx else 0
+        self._decode_head_jit = jax.jit(self._decode_frame_head)
+        self._decode_tail_jit = jax.jit(self._decode_frame_tail)
         self._encode_frame_jit = jax.jit(self._encode_frame, static_argnums=(2,))
+
+    def _decode_frame_head(self, codes):
+        emb = rvq_decode(self.params["quantizer"], codes)
+        return _run_spec(
+            self.params["decoder"][: self._dec_split],
+            self._dec_spec[: self._dec_split], self.cfg, emb,
+        )
+
+    def _decode_frame_tail(self, h, scale=None):
+        audio = _run_spec(
+            self.params["decoder"][self._dec_split :],
+            self._dec_spec[self._dec_split :], self.cfg, h,
+        )
+        if scale is not None:
+            audio = audio * scale
+        return audio
+
+    def _decode_frame_jit(self, codes, scale=None):
+        return self._decode_tail_jit(self._decode_head_jit(codes), scale)
 
     @classmethod
     def random_init(cls, cfg: Optional[EncodecConfig] = None, key=None, dtype=jnp.float32):
@@ -432,11 +459,7 @@ class EncodecModel:
         return jnp.stack(frames), scales
 
     def _decode_frame(self, codes, scale=None):
-        emb = rvq_decode(self.params["quantizer"], codes)
-        audio = _run_spec(self.params["decoder"], self._dec_spec, self.cfg, emb)
-        if scale is not None:
-            audio = audio * scale
-        return audio
+        return self._decode_frame_tail(self._decode_frame_head(codes), scale)
 
     @staticmethod
     def _linear_overlap_add(frames, stride: int):

@@ -213,7 +213,10 @@ def _transformer_block(p, x, memory, num_heads):
 
 def _transformer2d(p, x, memory, num_heads, groups):
     b, h, w, c = x.shape
-    y = group_norm(x, p["norm"], groups).reshape(b, h * w, c)
+    # diffusers Transformer2DModel hardcodes GN eps=1e-6 (the resnets use
+    # 1e-5); the MLX reference ports both at 1e-5 — we match the weights'
+    # native convention
+    y = group_norm(x, p["norm"], groups, eps=1e-6).reshape(b, h * w, c)
     y = dense(p["proj_in"], y)
 
     def step(carry, blk):
@@ -257,12 +260,12 @@ def _unet_block(p, cfg, i, x, memory, temb, residuals=None):
     return x, outputs
 
 
-def unet_forward(params, cfg: UNetConfig, x, timestep, encoder_x, text_time=None):
-    """x: (B, H, W, in_ch) latents; timestep: (B,); encoder_x: (B, S, ctx_dim);
-    text_time: optional (pooled_text (B, P), time_ids (B, 6)) for SDXL."""
+def compute_temb(params, cfg: UNetConfig, timestep, text_time, dtype):
+    """Time embedding incl. the SDXL text_time added embedding
+    (reference unet.py:283-313, diffusers add_embedding semantics)."""
     temb = timestep_embedding(
         timestep.astype(jnp.float32), cfg.block_out_channels[0], time_factor=1.0
-    ).astype(x.dtype)
+    ).astype(dtype)
     te = params["time_embedding"]
     temb = dense(te["linear_2"], jax.nn.silu(dense(te["linear_1"], temb)))
 
@@ -271,10 +274,17 @@ def unet_forward(params, cfg: UNetConfig, x, timestep, encoder_x, text_time=None
         add = timestep_embedding(
             time_ids.astype(jnp.float32).reshape(-1), cfg.addition_time_embed_dim,
             time_factor=1.0,
-        ).reshape(time_ids.shape[0], -1).astype(x.dtype)
+        ).reshape(time_ids.shape[0], -1).astype(dtype)
         add = jnp.concatenate([text_emb, add], axis=-1)
         ae = params["add_embedding"]
         temb = temb + dense(ae["linear_2"], jax.nn.silu(dense(ae["linear_1"], add)))
+    return temb
+
+
+def unet_forward(params, cfg: UNetConfig, x, timestep, encoder_x, text_time=None):
+    """x: (B, H, W, in_ch) latents; timestep: (B,); encoder_x: (B, S, ctx_dim);
+    text_time: optional (pooled_text (B, P), time_ids (B, 6)) for SDXL."""
+    temb = compute_temb(params, cfg, timestep, text_time, x.dtype)
 
     x = conv2d(params["conv_in"], x, padding=(cfg.conv_in_kernel - 1) // 2)
 

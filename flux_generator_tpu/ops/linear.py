@@ -32,6 +32,11 @@ def init_dense(key, in_features: int, out_features: int, bias: bool = True, dtyp
 def materialize_kernel(p, dtype):
     """Return the (in, out) kernel in `dtype`, dequantizing if needed — for
     call sites that slice kernels directly instead of going through dense()."""
+    if "kernel_q4" in p:
+        from .quant import unpack_int4
+
+        p = {**p, "kernel_q": unpack_int4(p["kernel_q4"])}
+        p.pop("kernel_q4")
     if "kernel_q" in p:
         q = p["kernel_q"]
         scale = p["kernel_scale"]
@@ -70,6 +75,14 @@ _w8a8_enabled = w8a8_enabled  # back-compat alias
 
 
 def dense(p, x):
+    if "kernel_q4" in p:
+        # nibble-packed int4 (ops/quant.pack_int4): unpack in-program — the
+        # packed uint8 buffer is what lives in HBM (2 weights/byte)
+        from .quant import unpack_int4
+
+        q4 = p["kernel_q4"]
+        p = {k: v for k, v in p.items() if k != "kernel_q4"}
+        p["kernel_q"] = unpack_int4(q4)
     if "kernel_q" in p:
         grouped = p["kernel_scale"].ndim == p["kernel_q"].ndim  # (…, g, out)
         if grouped:

@@ -48,25 +48,43 @@ def _lstm_kernel(xw_ref, wh_hbm, out_ref, h_ref, c_ref, wh_vmem, dma_sem,
 
     wh = wh_vmem[:]
     d = h_ref.shape[-1]
-    # statically-unrolled loop over the 8 rows of this block: Mosaic allows
-    # only static (or 8-aligned) row slices in VMEM
-    for r in range(ROWS):
-        @pl.when(ti * ROWS + r < t_actual)
-        def _(r=r):
-            h = h_ref[:]
-            gates = xw_ref[r : r + 1, :].astype(jnp.float32) + jax.lax.dot_general(
-                h.astype(wh.dtype), wh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            i = jax.nn.sigmoid(gates[:, :d])
-            f = jax.nn.sigmoid(gates[:, d : 2 * d])
-            g = jnp.tanh(gates[:, 2 * d : 3 * d])
-            o = jax.nn.sigmoid(gates[:, 3 * d :])
-            c = f * c_ref[:] + i * g
-            h_new = o * jnp.tanh(c)
-            c_ref[:] = c
-            h_ref[:] = h_new
-            out_ref[r : r + 1, :] = h_new.astype(out_ref.dtype)
+    # ROLLED loop over the 8 rows of this block (lax.fori_loop): a statically
+    # unrolled version keeps 8 matvecs' worth of vregs live at once and the
+    # register allocator spills ~128 MB of vmem at EnCodec size (d=1024).
+    # Rolled, one iteration's registers are reused. Rows are selected with
+    # iota masks on VALUES — Mosaic supports neither dynamic_slice on values
+    # nor unaligned dynamic ref rows.
+    xw_blk = xw_ref[:].astype(jnp.float32)  # (ROWS, 4d)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+
+    def body(r, carry):
+        h, c, out_blk = carry
+        row = jnp.sum(
+            jnp.where(row_ids == r, xw_blk, 0.0), axis=0, keepdims=True
+        )  # (1, 4d)
+        gates = row + jax.lax.dot_general(
+            h.astype(wh.dtype), wh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[:, :d])
+        f = jax.nn.sigmoid(gates[:, d : 2 * d])
+        g = jnp.tanh(gates[:, 2 * d : 3 * d])
+        o = jax.nn.sigmoid(gates[:, 3 * d :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        live = (ti * ROWS + r) < t_actual  # freeze state on padded tail rows
+        h2 = jnp.where(live, h_new, h)
+        c2 = jnp.where(live, c_new, c)
+        out_blk = jnp.where(row_ids == r, h_new.astype(out_blk.dtype), out_blk)
+        return h2, c2, out_blk
+
+    h, c, out_blk = jax.lax.fori_loop(
+        0, ROWS, body,
+        (h_ref[:], c_ref[:], jnp.zeros((ROWS, d), out_ref.dtype)),
+    )
+    h_ref[:] = h
+    c_ref[:] = c
+    out_ref[:] = out_blk
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -102,8 +120,10 @@ def lstm_pallas(p, x, interpret: bool = False):
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
+            # Wh resident + ~16 MB of rolled-loop registers/spill headroom
+            # (the unrolled variant spilled 128 MB; rolled needs ~16 MB)
             vmem_limit_bytes=d * 4 * d * (2 if wh_dtype == jnp.bfloat16 else 4)
-            + 2 * 1024 * 1024
+            + 24 * 1024 * 1024
         ),
         interpret=interpret,
     )(xw2, p["wh"].astype(wh_dtype))

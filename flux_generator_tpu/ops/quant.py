@@ -13,13 +13,35 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_dense(p: dict, bits: int = 8, group_size: int = None) -> dict:
+def pack_int4(q):
+    """(…, in, out) int values in [-8, 7] → (…, in/2, out) uint8 nibbles
+    (consecutive input rows share a byte: even row = low nibble). Packed
+    storage sidesteps native-S4 buffers, which the axon TPU plugin cannot
+    device_put (its relayout path recurses), and is transfer/layout-safe on
+    any backend."""
+    q = q.astype(jnp.int32) + 8  # bias to 0..15
+    pairs = q.reshape(*q.shape[:-2], q.shape[-2] // 2, 2, q.shape[-1])
+    return (pairs[..., 0, :] | (pairs[..., 1, :] << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed, dtype=jnp.int8):
+    """Inverse of pack_int4: (…, in/2, out) uint8 → (…, in, out) int8."""
+    low = (packed & 0xF).astype(jnp.int32) - 8
+    high = (packed >> 4).astype(jnp.int32) - 8
+    w = jnp.stack([low, high], axis=-2)  # (…, in/2, 2, out)
+    return w.reshape(*packed.shape[:-2], 2 * packed.shape[-2], packed.shape[-1]).astype(dtype)
+
+
+def quantize_dense(p: dict, bits: int = 8, group_size: int = None,
+                   pack: bool = False) -> dict:
     """Quantize one dense param dict (supports layer-stacked kernels).
     bits=4 uses the native int4 dtype (packed 2/byte by XLA on TPU) —
     the analog of the reference's 4-bit text-encoder mode
     (stable_diffusion/txt2image.py:36-56). group_size adds per-input-group
     scales (kernel_scale (…, in/G, out)) — cuts int4 error ~3x vs
-    per-channel; dequant reshape fuses into the matmul."""
+    per-channel; dequant reshape fuses into the matmul. pack=True (bits=4
+    only) stores nibble-packed uint8 (kernel_q4) instead of native int4 —
+    see pack_int4."""
     kern = p["kernel"].astype(jnp.float32)
     qmax = 127.0 if bits == 8 else 7.0
     if group_size:
@@ -37,7 +59,11 @@ def quantize_dense(p: dict, bits: int = 8, group_size: int = None) -> dict:
         q = jnp.clip(jnp.round(kern / scale), -qmax, qmax)
         stored_scale = jnp.squeeze(scale, -2)  # (…, out)
     out = {k: v for k, v in p.items() if k != "kernel"}
-    out["kernel_q"] = q.astype(jnp.int8 if bits == 8 else jnp.int4)
+    if pack:
+        assert bits == 4, "nibble packing is a 4-bit format"
+        out["kernel_q4"] = pack_int4(q)
+    else:
+        out["kernel_q"] = q.astype(jnp.int8 if bits == 8 else jnp.int4)
     out["kernel_scale"] = stored_scale
     return out
 
@@ -48,11 +74,15 @@ def default_predicate(p) -> bool:
     return p["kernel"].shape[-2] % 512 == 0
 
 
-def quantize_tree(params, predicate=default_predicate, bits: int = 8):
+def quantize_tree(params, predicate=default_predicate, bits: int = 8,
+                  group_size: int = None, pack: bool = False):
     def walk(node):
         if isinstance(node, dict):
             if "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2 and predicate(node):
-                return quantize_dense(node, bits)
+                gs = group_size
+                if gs and node["kernel"].shape[-2] % gs != 0:
+                    gs = None  # odd input dim: fall back to per-channel
+                return quantize_dense(node, bits, group_size=gs, pack=pack)
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]

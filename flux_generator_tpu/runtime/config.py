@@ -25,8 +25,10 @@ def use_pallas_attention() -> bool:
 
 
 def use_pallas_lstm() -> bool:
-    # opt-in (default off): the kernel is verified standalone on TPU but the
-    # remote compiler currently rejects it embedded in the full EnCodec
-    # decode program (see NOTES.md); scan-LSTM is within ~10 ms/generation
-    v = os.environ.get("FGT_PALLAS_LSTM", "0").lower()
-    return v not in ("0", "off", "false", "no", "auto")
+    # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
+    # kernel is covered by interpret-mode tests). Round 1 shipped this
+    # opt-in because kernel + full conv stack in one program blew XLA's
+    # 128 MB vmem scheduling budget; EnCodec decode now runs as two jitted
+    # programs split at the LSTM stage (models/musicgen/encodec.py), which
+    # schedules cleanly.
+    return _flag("FGT_PALLAS_LSTM")

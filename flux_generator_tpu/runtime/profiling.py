@@ -15,9 +15,21 @@ import jax
 
 
 def device_memory_stats(device=None) -> dict:
-    """Peak/in-use HBM bytes for a device (xla memory_stats when exposed)."""
+    """Peak/in-use HBM bytes for a device (xla memory_stats when exposed).
+    The axon tunnel plugin exposes no memory_stats; fall back to summing the
+    live on-device arrays — resident bytes, a lower bound on peak."""
     device = device or jax.devices()[0]
     stats = getattr(device, "memory_stats", lambda: None)() or {}
+    if not stats:
+        try:
+            in_use = sum(
+                a.nbytes for a in jax.live_arrays()
+                if device in getattr(a, "devices", lambda: set())()
+            )
+        except Exception:
+            in_use = 0
+        return {"bytes_in_use": in_use, "peak_bytes_in_use": in_use,
+                "bytes_limit": 0, "is_resident_lower_bound": True}
     return {
         "bytes_in_use": stats.get("bytes_in_use", 0),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),

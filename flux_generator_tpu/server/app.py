@@ -49,6 +49,14 @@ def _enable_compile_cache():
 
 def main(argv=None):
     _enable_compile_cache()
+    # multi-host serving (TP-sharded pipelines over a pod slice): join the
+    # slice before any device query; no-op on single-process setups
+    from ..parallel.distributed import initialize_multihost, process_info
+
+    initialize_multihost()
+    pinfo = process_info()
+    if pinfo["process_count"] > 1:
+        print(f"multi-host serving: {pinfo}", flush=True)
     parser = argparse.ArgumentParser(description="Flux Generator TPU server")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument(

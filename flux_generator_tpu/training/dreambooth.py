@@ -103,9 +103,20 @@ def train(args, pipeline=None, dataset=None):
     from .lora import apply_lora_to_flux, lora_block_mask, lora_only_filter
     from .trainer import Trainer
 
+    from ..parallel.distributed import initialize_multihost, process_info
+
+    # multi-host: wire the slice together BEFORE any device queries (no-op
+    # for single-process). The GSPMD replacement for the reference's MPI
+    # init + per-rank seeding (dreambooth.py:175).
+    initialize_multihost()
+    pinfo = process_info()
+    if pinfo["process_count"] > 1:
+        print(f"multi-host training: {pinfo}", flush=True)
+
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    save_config(output_dir / "adapter_config.json", vars(args))
+    if pinfo["process_index"] == 0:
+        save_config(output_dir / "adapter_config.json", vars(args))
 
     if pipeline is None:
         from ..pipelines.flux import FluxPipeline
@@ -169,14 +180,28 @@ def train(args, pipeline=None, dataset=None):
     accum = jax.tree.map(jnp.zeros_like, flow)
     key = jax.random.PRNGKey(0xF0F0F0F0)
 
+    def put(x):
+        """Global-batch placement. Single process: plain device_put. Multi
+        host: every process iterates the SAME global batch (shared shuffle
+        seed) and contributes its process-local rows — GSPMD then treats the
+        result as one global array; gradients all-reduce through the mesh."""
+        if pinfo["process_count"] == 1:
+            return jax.device_put(x, data_sharding)
+        n = pinfo["process_count"]
+        per = x.shape[0] // n
+        lo = pinfo["process_index"] * per
+        return jax.make_array_from_process_local_data(
+            data_sharding, np.asarray(x[lo:lo + per]), tuple(x.shape)
+        )
+
     losses, tic = [], time.time()
     for i, (x0, t5f, clipf) in zip(
         range(start_iter * args.grad_accumulate, args.iterations * args.grad_accumulate),
         trainer.iterate(args.batch_size),
     ):
-        x0 = jax.device_put(x0, data_sharding)
-        t5f = jax.device_put(t5f, data_sharding)
-        clipf = jax.device_put(clipf, data_sharding)
+        x0 = put(x0)
+        t5f = put(t5f)
+        clipf = put(clipf)
         is_first = (i % args.grad_accumulate) == 0
         should_step = (i % args.grad_accumulate) == (args.grad_accumulate - 1)
         loss, flow, opt_state, accum = step_fn(
@@ -196,9 +221,10 @@ def train(args, pipeline=None, dataset=None):
                 flush=True,
             )
             losses, tic = [], toc
-        if should_step and args.progress_every > 0 and opt_step % args.progress_every == 0:
+        is_main = pinfo["process_index"] == 0  # host 0 owns all file output
+        if is_main and should_step and args.progress_every > 0 and opt_step % args.progress_every == 0:
             generate_progress_images(pipeline, args.progress_prompt, output_dir, opt_step)
-        if should_step and args.checkpoint_every > 0 and opt_step % args.checkpoint_every == 0:
+        if is_main and should_step and args.checkpoint_every > 0 and opt_step % args.checkpoint_every == 0:
             save_adapter(
                 output_dir / f"{opt_step:07d}_adapters.safetensors",
                 flow, args.lora_rank, args.lora_blocks,
@@ -208,8 +234,9 @@ def train(args, pipeline=None, dataset=None):
 
                 save_train_state(output_dir / "ckpt", opt_step, flow, opt_state)
     # final adapter
-    save_adapter(output_dir / "final_adapters.safetensors", flow,
-                 args.lora_rank, args.lora_blocks)
+    if pinfo["process_index"] == 0:
+        save_adapter(output_dir / "final_adapters.safetensors", flow,
+                     args.lora_rank, args.lora_blocks)
     return pipeline
 
 

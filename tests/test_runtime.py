@@ -36,4 +36,5 @@ def test_phase_timer():
 
 def test_device_memory_stats_keys():
     stats = device_memory_stats()
-    assert set(stats) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+    # axon fallback adds is_resident_lower_bound when memory_stats is absent
+    assert {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"} <= set(stats)

@@ -238,6 +238,30 @@ def _check_grouped_ignores_w8a8():
     assert rel < 0.01
 
 
+def test_packed_int4_roundtrip_exact():
+    """pack_int4/unpack_int4 must be bit-exact inverses over [-8, 7]."""
+    from flux_generator_tpu.ops.quant import pack_int4, unpack_int4
+
+    q = jax.random.randint(jax.random.PRNGKey(0), (3, 64, 10), -8, 8)
+    packed = pack_int4(q)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 32, 10)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
+def test_packed_int4_dense_matches_native_int4():
+    """dense() through kernel_q4 (nibble-packed uint8) must equal the native
+    int4 path bit-for-bit — same quantized values, different storage."""
+    p = init_dense(jax.random.PRNGKey(0), 512, 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
+    for gs in (None, 128):
+        native = quantize_dense(p, bits=4, group_size=gs)
+        packed = quantize_dense(p, bits=4, group_size=gs, pack=True)
+        assert "kernel_q4" in packed and packed["kernel_q4"].dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(dense(native, x)), np.asarray(dense(packed, x))
+        )
+
+
 def test_quantize_tree_predicate():
     tree = {
         "big": init_dense(jax.random.PRNGKey(0), 512, 8),
