@@ -371,20 +371,25 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
     }
 
 
-def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False):
+def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False,
+                   bits: int = 8):
     """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
     ms/step (the reference's bench_mx.py protocol). Zero weights, honest
-    shapes: 48 layers, hidden 1536, batch 2 (CFG). quantize=True uses int8
-    weights — the AR loop is HBM-bound (~3 GB of weights per step), so this
-    roughly halves step time."""
+    shapes: 48 layers, hidden 1536, batch 2 (CFG). The AR loop is HBM-bound
+    (every step re-reads all decoder weights), so quantize=True cuts step
+    time roughly with the weight bytes: int8 halves bf16; bits=4 (nibble-
+    packed, grouped scales) halves again."""
     from flux_generator_tpu.models.musicgen import model as mg
     from flux_generator_tpu.ops.quant import quantize_tree
 
     cfg = mg.MusicGenConfig()
     dtype = jnp.bfloat16
     if quantize:
+        kw = dict(bits=bits, group_size=64, pack=True) if bits == 4 else dict(bits=8)
         shape = jax.eval_shape(
-            lambda: quantize_tree(mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype))
+            lambda: quantize_tree(
+                mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype), **kw
+            )
         )
     else:
         shape = jax.eval_shape(
@@ -435,7 +440,8 @@ def main():
             import os
 
             return bench_musicgen(
-                quantize=os.environ.get("FGT_QUANTIZE", "0") == "1"
+                quantize=os.environ.get("FGT_QUANTIZE", "0") == "1",
+                bits=int(os.environ.get("FGT_QUANTIZE_BITS", "8")),
             )
         if config == "sdxl-turbo":
             return bench_sdxl_turbo(size=args.size or 512)

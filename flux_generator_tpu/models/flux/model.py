@@ -34,9 +34,19 @@ from ...runtime.config import use_pallas_attention
 
 
 def _rope_attention(q, k, v, cos, sin):
-    """RoPE + SDPA: Pallas fused kernel on TPU, XLA einsum elsewhere
-    (runtime/config.py switch). Lane-aligned head dims only — tiny test
+    """RoPE + SDPA: ring attention for long sequences when a mesh is set
+    (sequence parallel, >2048² generation), else the Pallas fused kernel on
+    TPU, else the XLA einsum. Lane-aligned head dims only — tiny test
     configs fall back to XLA."""
+    from ...runtime.config import ring_attention_params
+
+    mesh, axis = ring_attention_params(q.shape[1])
+    if mesh is not None:
+        from ...parallel.ring_attention import ring_attention
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        return ring_attention(q, k, v, mesh, axis=axis)
     if use_pallas_attention() and q.shape[-1] % 64 == 0:
         from ...ops.pallas.flash_attention import flash_attention
 

@@ -194,8 +194,12 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         x = x + dense(p["linear2"], jax.nn.gelu(dense(p["linear1"], y), approximate=False))
         return x, (kc, vc)
 
+    import os as _os
+
+    _lu = int(_os.environ.get("FGT_LAYER_UNROLL", "1"))
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], k_cache, v_cache, cross_k, cross_v)
+        layer, x, (params["layers"], k_cache, v_cache, cross_k, cross_v),
+        unroll=_lu,
     )
     x = layer_norm(x, params["out_norm"])
     logits = jnp.einsum("btd,kdv->btvk", x, params["linears"].astype(dtype))
@@ -267,8 +271,12 @@ def generate(
         seq = jax.lax.dynamic_update_slice(seq, tok_next[:, None], (0, offset + 1, 0))
         return (seq, kc, vc), None
 
+    import os
+
+    unroll = int(os.environ.get("FGT_AR_UNROLL", "1"))
     (audio_seq, _, _), _ = jax.lax.scan(
-        step, (audio_seq, k_cache, v_cache), jnp.arange(max_steps)
+        step, (audio_seq, k_cache, v_cache), jnp.arange(max_steps),
+        unroll=unroll,
     )
 
     # undo delay (musicgen.py:296-300): codebook k shifted back by k

@@ -74,15 +74,45 @@ def w8a8_enabled() -> bool:
 _w8a8_enabled = w8a8_enabled  # back-compat alias
 
 
+def _dequant(q, scale, dtype):
+    """int weights + per-channel (…, out) or per-input-group (…, g, out)
+    scales → dtype kernel."""
+    if scale.ndim == q.ndim:  # grouped
+        g = scale.shape[-2]
+        gs = q.shape[-2] // g
+        return (
+            q.reshape(*q.shape[:-2], g, gs, q.shape[-1]).astype(dtype)
+            * scale[..., :, None, :].astype(dtype)
+        ).reshape(q.shape)
+    return q.astype(dtype) * scale.astype(dtype)[..., None, :]
+
+
 def dense(p, x):
     if "kernel_q4" in p:
-        # nibble-packed int4 (ops/quant.pack_int4): unpack in-program — the
-        # packed uint8 buffer is what lives in HBM (2 weights/byte)
-        from .quant import unpack_int4
-
+        # nibble-packed int4, SPLIT layout (ops/quant.pack_int4): run two
+        # matmuls over the input halves. The nibble extraction + dequant
+        # fuse into each matmul's operand read; an interleave-unpack would
+        # force XLA to materialize the full bf16 kernel (9x slower in the
+        # HBM-bound AR loop).
         q4 = p["kernel_q4"]
-        p = {k: v for k, v in p.items() if k != "kernel_q4"}
-        p["kernel_q"] = unpack_int4(q4)
+        scale = p["kernel_scale"]
+        half = q4.shape[-2]
+        lo = (q4 & 0xF).astype(jnp.int8) - 8
+        hi = (q4 >> 4).astype(jnp.int8) - 8
+        if scale.ndim == q4.ndim:  # grouped: first g/2 groups = low half
+            g2 = scale.shape[-2] // 2
+            s_lo, s_hi = scale[..., :g2, :], scale[..., g2:, :]
+        else:
+            s_lo = s_hi = scale
+        y = (
+            x[..., :half] @ _dequant(lo, s_lo, x.dtype)
+            + x[..., half:] @ _dequant(hi, s_hi, x.dtype)
+        )
+        if "lora_a" in p:
+            y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     if "kernel_q" in p:
         grouped = p["kernel_scale"].ndim == p["kernel_q"].ndim  # (…, g, out)
         if grouped:

@@ -14,22 +14,24 @@ import jax.numpy as jnp
 
 
 def pack_int4(q):
-    """(…, in, out) int values in [-8, 7] → (…, in/2, out) uint8 nibbles
-    (consecutive input rows share a byte: even row = low nibble). Packed
-    storage sidesteps native-S4 buffers, which the axon TPU plugin cannot
-    device_put (its relayout path recurses), and is transfer/layout-safe on
-    any backend."""
+    """(…, in, out) int values in [-8, 7] → (…, in/2, out) uint8 nibbles in
+    SPLIT layout: input row i shares a byte with row i + in/2 (low nibble =
+    first half). Packed storage sidesteps native-S4 buffers, which the axon
+    TPU plugin cannot device_put (its relayout path recurses), and the split
+    layout lets dense() run TWO fusable matmuls over the halves instead of
+    an interleaving reshape XLA must materialize (measured 9x slower)."""
     q = q.astype(jnp.int32) + 8  # bias to 0..15
-    pairs = q.reshape(*q.shape[:-2], q.shape[-2] // 2, 2, q.shape[-1])
-    return (pairs[..., 0, :] | (pairs[..., 1, :] << 4)).astype(jnp.uint8)
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
+    return (lo | (hi << 4)).astype(jnp.uint8)
 
 
 def unpack_int4(packed, dtype=jnp.int8):
     """Inverse of pack_int4: (…, in/2, out) uint8 → (…, in, out) int8."""
     low = (packed & 0xF).astype(jnp.int32) - 8
     high = (packed >> 4).astype(jnp.int32) - 8
-    w = jnp.stack([low, high], axis=-2)  # (…, in/2, 2, out)
-    return w.reshape(*packed.shape[:-2], 2 * packed.shape[-2], packed.shape[-1]).astype(dtype)
+    return jnp.concatenate([low, high], axis=-2).astype(dtype)
 
 
 def quantize_dense(p: dict, bits: int = 8, group_size: int = None,
@@ -61,6 +63,10 @@ def quantize_dense(p: dict, bits: int = 8, group_size: int = None,
     out = {k: v for k, v in p.items() if k != "kernel"}
     if pack:
         assert bits == 4, "nibble packing is a 4-bit format"
+        if group_size:
+            # split layout: each half must hold whole groups
+            assert (kern.shape[-2] // 2) % group_size == 0, \
+                (kern.shape[-2], group_size)
         out["kernel_q4"] = pack_int4(q)
     else:
         out["kernel_q"] = q.astype(jnp.int8 if bits == 8 else jnp.int4)

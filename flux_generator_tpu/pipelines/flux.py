@@ -148,6 +148,20 @@ class FluxPipeline:
         self.params["ae"] = replicate(self.params["ae"], mesh)
         return self
 
+    def enable_ring_attention(self, mesh=None, axis: str = "model",
+                              threshold: int = 32768):
+        """Sequence-parallel attention for very large generations (≥2048² →
+        16k+ image tokens): shard the token axis over `axis` of `mesh` and
+        ring-rotate K/V via ppermute (parallel.ring_attention). Applies to
+        every attention whose sequence length is >= threshold AND divisible
+        by the mesh axis; shorter sequences keep the single-device path."""
+        from ..parallel.mesh import create_mesh
+        from ..runtime.config import set_ring_attention
+
+        mesh = mesh or create_mesh(data=1, model=len(jax.devices()))
+        set_ring_attention(mesh, axis=axis, threshold=threshold)
+        return self
+
     # -------------------------------------------------- text conditioning
 
     def tokenize(self, text):

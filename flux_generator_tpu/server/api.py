@@ -14,6 +14,7 @@ A1111 model/options payloads) with two deliberate fixes the survey calls out:
 from __future__ import annotations
 
 import base64
+import contextlib
 import io
 import threading
 import time
@@ -38,6 +39,10 @@ def to_latent_size(size: Tuple[int, int]) -> Tuple[int, int]:
     return (h // 8, w // 8)
 
 
+class QueueFullError(RuntimeError):
+    """Raised when the bounded request queue is full → HTTP 429."""
+
+
 class ProgressTracker:
     def __init__(self):
         self._lock = threading.Lock()
@@ -50,6 +55,7 @@ class ProgressTracker:
             self.done_steps = 0
             self.started = None
             self.interrupted = False
+            self.current_image = None
 
     def start(self, job: str, total_steps: int):
         with self._lock:
@@ -57,10 +63,17 @@ class ProgressTracker:
             self.total_steps = total_steps
             self.done_steps = 0
             self.started = time.time()
+            self.current_image = None
 
     def step(self, n: int = 1):
         with self._lock:
             self.done_steps += n
+
+    def set_preview(self, data_url: Optional[str]):
+        """Live preview for /sdapi/v1/progress (the reference stubs the
+        whole endpoint; A1111 semantics fill current_image mid-job)."""
+        with self._lock:
+            self.current_image = data_url
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -84,7 +97,7 @@ class ProgressTracker:
                     if self.started
                     else "",
                 },
-                "current_image": None,
+                "current_image": self.current_image if active else None,
                 "textinfo": f"Step {self.done_steps}/{self.total_steps}"
                 if active
                 else "Idle",
@@ -94,7 +107,8 @@ class ProgressTracker:
 class FluxAPI:
     """Unified API for the UI and external A1111-style calls."""
 
-    def __init__(self, pipeline_factory=None, sd_factory=None):
+    def __init__(self, pipeline_factory=None, sd_factory=None,
+                 max_queue: int = 8):
         self.pipeline = None
         self.sd_pipeline = None
         # model names are tracked per slot so alternating flux/SD requests
@@ -103,10 +117,25 @@ class FluxAPI:
         self.current_sd_model = None
         self.progress = ProgressTracker()
         self._gen_lock = threading.Lock()
+        # bounded admission: one request generates, up to max_queue-1 wait on
+        # the lock, anything beyond is rejected with 429 (the reference's
+        # Gradio queue(max_size=20) analog, flux_app.py:825; its REST path
+        # has no limit at all)
+        self._queue_slots = threading.BoundedSemaphore(max_queue)
         self._pipeline_factory = pipeline_factory
         self._sd_factory = sd_factory
         self.music_pipeline = None
         self._music_factory = None
+
+    @contextlib.contextmanager
+    def _admit(self):
+        if not self._queue_slots.acquire(blocking=False):
+            raise QueueFullError("generation queue full, retry later")
+        try:
+            with self._gen_lock:
+                yield
+        finally:
+            self._queue_slots.release()
 
     # -------------------------------------------------- pipeline cache
 
@@ -210,7 +239,7 @@ class FluxAPI:
     ) -> List[Union[str, object]]:
         import time as _time
 
-        with self._gen_lock:
+        with self._admit():
             t_start = _time.time()
             pipeline = self.init_pipeline(model)
             latent_size = to_latent_size((height, width))
@@ -244,8 +273,16 @@ class FluxAPI:
             t_cond = _time.time()
 
             x_t = None
-            for x_t in latents:
+            # live preview cadence: at most ~3 intermediate frames per job,
+            # never on short fast jobs — each preview costs a device→host
+            # fetch (~25-30 ms through the axon tunnel)
+            preview_every = max(1, steps // 4) if steps > 4 else 0
+            for i, x_t in enumerate(latents):
                 self.progress.step()
+                if preview_every and (i + 1) % preview_every == 0 and i + 1 < steps:
+                    self.progress.set_preview(
+                        self._latent_preview(x_t, model, latent_size)
+                    )
             t_gen = _time.time()
 
             decoded = []
@@ -281,6 +318,23 @@ class FluxAPI:
             self.progress.start("", 0)
             return images
 
+    def _latent_preview(self, x_t, model: str, latent_size):
+        """Cheap mid-job preview: first 3 latent channels normalized to RGB
+        (A1111 'approx' preview style — no VAE pass)."""
+        try:
+            if model.startswith("stabilityai/"):
+                lat = np.asarray(x_t[0:1])[0]
+            else:
+                from ..pipelines.flux import unpack_latents
+
+                lat = np.asarray(unpack_latents(x_t[0:1], *latent_size))[0]
+            rgb = lat[..., :3].astype(np.float32)
+            rng = float(rgb.max() - rgb.min())
+            rgb = (rgb - rgb.min()) / (rng + 1e-6)
+            return _png_data_url((rgb * 255).astype(np.uint8))
+        except Exception:
+            return None
+
     # -------------------------------------------------- img2img
 
     def img2img(self, request) -> SDAPIResponse:
@@ -294,7 +348,7 @@ class FluxAPI:
 
         if not request.model.startswith("stabilityai/"):
             raise ValueError("img2img supports the stabilityai/* models")
-        with self._gen_lock:
+        with self._admit():
             pipeline = self.init_pipeline(request.model)
             raw = request.init_images[0]
             if raw.startswith("data:"):
@@ -331,7 +385,7 @@ class FluxAPI:
     def generate_music(self, prompt: str, max_steps: int = 500, top_k: int = 250,
                        temperature: float = 1.0, guidance: float = 3.0,
                        seed: Optional[int] = None):
-        with self._gen_lock:
+        with self._admit():
             pipe = self.init_music_pipeline()
             max_steps = max(8, min(int(max_steps), 2500))
             self.progress.start("musicgen", max_steps)

@@ -13,7 +13,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .api import FluxAPI
+from .api import FluxAPI, QueueFullError
 from .schemas import Img2ImgRequest, MusicRequest, SDAPIRequest
 
 
@@ -105,6 +105,8 @@ def make_handler(api: FluxAPI):
                     })
                 else:
                     self._json(404, {"detail": "Not Found"})
+            except QueueFullError as e:
+                self._json(429, {"detail": str(e)})
             except ValueError as e:
                 self._json(422, {"detail": str(e)})
             except Exception as e:  # noqa: BLE001

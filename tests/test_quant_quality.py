@@ -104,13 +104,14 @@ def test_int4_grouped_beats_per_channel_at_depth(tower):
 
 
 def test_packed_int4_same_quality(tower):
-    """Packing changes storage, not values: identical end output."""
+    """Packing changes storage, not values: same end output up to fp
+    summation order (the split layout contracts halves separately)."""
     blocks, x, ref = tower
     native = np.asarray(_run(_quantize_tower(blocks, bits=4, group_size=64), x))
     packed = np.asarray(
         _run(_quantize_tower(blocks, bits=4, group_size=64, pack=True), x)
     )
-    np.testing.assert_array_equal(native, packed)
+    np.testing.assert_allclose(native, packed, atol=1e-3, rtol=1e-4)
 
 
 def test_tiny_flux_golden_delta_int8():

@@ -63,3 +63,49 @@ def test_ring_under_jit():
     qs = jax.device_put(q, spec)
     f = jax.jit(lambda a: ring_attention(a, a, a, mesh))
     np.testing.assert_allclose(np.asarray(f(qs)), np.asarray(ref), atol=2e-5)
+
+
+def test_flux_pipeline_dispatches_ring_attention():
+    """End-to-end seam test (VERDICT r1 next #9): the SAME flux forward must
+    produce the same output with ring attention enabled on an 8-device mesh
+    as with the single-device einsum path, at a sequence length right at the
+    dispatch threshold."""
+    import jax.numpy as jnp
+
+    from flux_generator_tpu.models.flux.model import flux_forward, init_flux, tiny_flux_config
+    from flux_generator_tpu.pipelines.flux import FluxPipeline, latent_ids, pack_latents
+    from flux_generator_tpu.runtime.config import set_ring_attention
+
+    cfg = tiny_flux_config()
+    key = jax.random.PRNGKey(0)
+    params = init_flux(key, cfg, jnp.float32)
+
+    b, h, w = 1, 16, 16  # 64 img tokens + 16 txt = 80 total (div by 8)
+    img = pack_latents(jax.random.normal(key, (b, h, w, cfg.in_channels // 4), jnp.float32))
+    img_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.fold_in(key, 1), (b, 16, cfg.context_in_dim), jnp.float32)
+    txt_ids = jnp.zeros((b, 16, 3), jnp.int32)
+    t = jnp.array([0.5], jnp.float32)
+    y = jax.random.normal(jax.random.fold_in(key, 2), (b, cfg.vec_in_dim), jnp.float32)
+
+    args = (img, img_ids, txt, txt_ids, t, y)
+    ref = np.asarray(flux_forward(params, cfg, *args))
+
+    pipe = FluxPipeline(
+        "flux-schnell", {"flow": params}, cfg, None, None, None,
+        dtype=jnp.float32,
+    )
+    pipe.enable_ring_attention(threshold=80)  # mesh over all 8 fake devices
+    try:
+        got = np.asarray(flux_forward(params, cfg, *args))
+    finally:
+        set_ring_attention(None)
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+    # below the threshold nothing changes either (sanity that the switch is
+    # length-gated, not global)
+    pipe.enable_ring_attention(threshold=10_000)
+    try:
+        got2 = np.asarray(flux_forward(params, cfg, *args))
+    finally:
+        set_ring_attention(None)
+    np.testing.assert_allclose(got2, ref, atol=0, rtol=0)

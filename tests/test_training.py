@@ -249,16 +249,18 @@ def test_packed_int4_roundtrip_exact():
 
 
 def test_packed_int4_dense_matches_native_int4():
-    """dense() through kernel_q4 (nibble-packed uint8) must equal the native
-    int4 path bit-for-bit — same quantized values, different storage."""
+    """dense() through kernel_q4 (nibble-packed uint8, split layout) must
+    equal the native int4 path up to fp summation order — the split path
+    contracts the two input halves as separate matmuls."""
     p = init_dense(jax.random.PRNGKey(0), 512, 64)
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
     for gs in (None, 128):
         native = quantize_dense(p, bits=4, group_size=gs)
         packed = quantize_dense(p, bits=4, group_size=gs, pack=True)
         assert "kernel_q4" in packed and packed["kernel_q4"].dtype == jnp.uint8
-        np.testing.assert_array_equal(
-            np.asarray(dense(native, x)), np.asarray(dense(packed, x))
+        np.testing.assert_allclose(
+            np.asarray(dense(native, x)), np.asarray(dense(packed, x)),
+            atol=1e-5, rtol=1e-5,
         )
 
 
