@@ -274,10 +274,25 @@ def generate(
     import os
 
     unroll = int(os.environ.get("FGT_AR_UNROLL", "1"))
-    (audio_seq, _, _), _ = jax.lax.scan(
-        step, (audio_seq, k_cache, v_cache), jnp.arange(max_steps),
-        unroll=unroll,
-    )
+    # chunked-cache attention: self-attention reads grow with the cache, so
+    # a 2500-step generation re-reading the full padded cache every step is
+    # ~2x the necessary traffic. Run the loop in chunks; chunk c attends
+    # over a STATIC cache window of the first (c+1)*chunk positions (the
+    # mask inside decode_step handles exactness), then writes the window
+    # back. One executable: the python loop unrolls n_chunks inner scans.
+    chunk = int(os.environ.get("FGT_CACHE_CHUNK", "256"))
+    n_chunks = max(1, -(-max_steps // chunk))
+    for c in range(n_chunks):
+        start, stop = c * chunk, min(max_steps, (c + 1) * chunk)
+        kc_view = k_cache[:, :, :stop]
+        vc_view = v_cache[:, :, :stop]
+        (audio_seq, kc_view, vc_view), _ = jax.lax.scan(
+            step, (audio_seq, kc_view, vc_view), jnp.arange(start, stop),
+            unroll=unroll,
+        )
+        if stop < max_steps:
+            k_cache = k_cache.at[:, :, :stop].set(kc_view)
+            v_cache = v_cache.at[:, :, :stop].set(vc_view)
 
     # undo delay (musicgen.py:296-300): codebook k shifted back by k
     T_out = max_steps - K + 1

@@ -159,6 +159,19 @@ def test_generate_bucket_padding_matches_unpadded(musicgen):
     assert (tail == cfg.bos_token_id).all()
 
 
+def test_chunked_cache_matches_full_cache(musicgen, monkeypatch):
+    """Chunked-cache attention (FGT_CACHE_CHUNK) must produce identical codes
+    across chunk boundaries — the growing static window + mask is exact."""
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    full = mg.generate(musicgen.params, cfg, cond, max_steps=20, top_k=4,
+                       key=jax.random.PRNGKey(9))
+    monkeypatch.setenv("FGT_CACHE_CHUNK", "8")  # 3 chunks over 20 steps
+    chunked = mg.generate(musicgen.params, cfg, cond, max_steps=20, top_k=4,
+                          key=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
 def test_generate_deterministic_per_seed(musicgen):
     cfg = musicgen.cfg
     cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
