@@ -268,6 +268,15 @@ def _single_block(p, x, vec, cos, sin, cfg: FluxConfig):
     return x + gate * y
 
 
+def _act_stats(x):
+    """Cheap per-layer activation fingerprint: (mean, abs-mean, std) in f32.
+    Emitted from inside the scan, so capturing costs 3 scalars per layer —
+    usable at full 12B scale for checkpoint-fidelity checks against a
+    reference implementation (SURVEY §7 hard part 6)."""
+    xf = x.astype(jnp.float32)
+    return jnp.stack([xf.mean(), jnp.abs(xf).mean(), xf.std()])
+
+
 def flux_forward(
     params,
     cfg: FluxConfig,
@@ -279,6 +288,7 @@ def flux_forward(
     y,
     guidance: Optional[jax.Array] = None,
     remat: bool = False,
+    capture_stats: bool = False,
 ):
     """img: (B, L_img, in_channels) packed 2x2 latent patches; txt: (B, L_txt,
     context_in_dim) T5 features; y: (B, vec_in_dim) pooled CLIP; timesteps,
@@ -286,7 +296,12 @@ def flux_forward(
 
     remat=True rematerializes each block in the backward pass
     (jax.checkpoint): training holds one block's activations instead of all
-    19+38 — the TPU analog of gradient checkpointing."""
+    19+38 — the TPU analog of gradient checkpointing.
+
+    capture_stats=True returns (out, stats) where stats holds per-block
+    activation fingerprints: {"double": (depth, 2, 3) img/txt (mean,
+    abs-mean, std), "single": (depth_single, 3), "final": (3,)} — the
+    per-layer checksum harness for validating real-checkpoint loads."""
     dtype = img.dtype
     img = dense(params["img_in"], img)
     vec = _mlp_embedder(params["time_in"], timestep_embedding(timesteps, 256))
@@ -311,19 +326,26 @@ def flux_forward(
 
     def dbl(carry, p):
         i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg)
-        return (i, t), None
+        ys = jnp.stack([_act_stats(i), _act_stats(t)]) if capture_stats else None
+        return (i, t), ys
 
-    (img, txt), _ = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
+    (img, txt), dbl_stats = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
 
     x = jnp.concatenate([txt, img], axis=1)
 
     def sgl(carry, p):
-        return sgl_body(p, carry, vec, cos, sin, cfg), None
+        out = sgl_body(p, carry, vec, cos, sin, cfg)
+        return out, (_act_stats(out) if capture_stats else None)
 
-    x, _ = jax.lax.scan(sgl, x, params["single_blocks"])
+    x, sgl_stats = jax.lax.scan(sgl, x, params["single_blocks"])
     img = x[:, txt.shape[1] :]
 
     fl = params["final_layer"]
     shift, scale = jnp.split(dense(fl["adaLN"], jax.nn.silu(vec)), 2, axis=-1)
     img = (1 + scale[:, None]) * layer_norm(img, eps=1e-6) + shift[:, None]
-    return dense(fl["linear"], img)
+    out = dense(fl["linear"], img)
+    if capture_stats:
+        return out, {
+            "double": dbl_stats, "single": sgl_stats, "final": _act_stats(out)
+        }
+    return out

@@ -234,8 +234,10 @@ def _dense_act(p, x, cfg: T5Config):
     return dense(p["wo"], x)
 
 
-def t5_encode(params, cfg: T5Config, tokens):
-    """tokens (B, L) int32 → (B, L, d_model)."""
+def t5_encode(params, cfg: T5Config, tokens, capture_stats: bool = False):
+    """tokens (B, L) int32 → (B, L, d_model). capture_stats=True returns
+    (out, (num_layers, 3) per-layer (mean, abs-mean, std)) — the checksum
+    harness for validating real spiece/safetensors loads."""
     enc = params["encoder"]
     x = params["wte"][tokens]
     L = tokens.shape[1]
@@ -246,10 +248,15 @@ def t5_encode(params, cfg: T5Config, tokens):
         carry = carry + _attn(p["attention"], y, y, cfg, bias=bias)
         y = rms_norm(carry, p["ln2"], cfg.layer_norm_epsilon)
         carry = carry + _dense_act(p["dense"], y, cfg)
-        return carry, None
+        ys = None
+        if capture_stats:
+            cf = carry.astype(jnp.float32)
+            ys = jnp.stack([cf.mean(), jnp.abs(cf).mean(), cf.std()])
+        return carry, ys
 
-    x, _ = jax.lax.scan(step, x, enc["layers"])
-    return rms_norm(x, enc["ln"], cfg.layer_norm_epsilon)
+    x, stats = jax.lax.scan(step, x, enc["layers"])
+    out = rms_norm(x, enc["ln"], cfg.layer_norm_epsilon)
+    return (out, stats) if capture_stats else out
 
 
 def init_decode_cache(cfg: T5Config, batch: int, max_len: int, dtype=jnp.float32):

@@ -96,3 +96,35 @@ def test_ae_roundtrip_shapes():
     y = decode(params, cfg, z)
     assert y.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_capture_stats_consistent_with_plain_forward():
+    """capture_stats must not perturb the forward output, and fingerprints
+    must be deterministic — the activation-checksum harness contract
+    (scripts/checksum_activations.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flux_generator_tpu.models.flux.model import (
+        flux_forward,
+        init_flux,
+        tiny_flux_config,
+    )
+    from flux_generator_tpu.pipelines.flux import latent_ids, pack_latents
+
+    cfg = tiny_flux_config()
+    key = jax.random.PRNGKey(0)
+    params = init_flux(key, cfg, jnp.float32)
+    img = pack_latents(jax.random.normal(key, (1, 8, 8, cfg.in_channels // 4)))
+    args = (img, latent_ids(1, 8, 8),
+            jax.random.normal(jax.random.fold_in(key, 1), (1, 4, cfg.context_in_dim)),
+            jnp.zeros((1, 4, 3), jnp.int32), jnp.array([0.5]),
+            jax.random.normal(jax.random.fold_in(key, 2), (1, cfg.vec_in_dim)))
+    plain = np.asarray(flux_forward(params, cfg, *args))
+    out, stats = flux_forward(params, cfg, *args, capture_stats=True)
+    np.testing.assert_array_equal(np.asarray(out), plain)
+    assert stats["double"].shape == (cfg.depth, 2, 3)
+    assert stats["single"].shape == (cfg.depth_single_blocks, 3)
+    out2, stats2 = flux_forward(params, cfg, *args, capture_stats=True)
+    np.testing.assert_array_equal(np.asarray(stats["double"]), np.asarray(stats2["double"]))
