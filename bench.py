@@ -173,6 +173,12 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
 V5E_BF16_PEAK = 197e12  # TPU v5e: ~197 TFLOP/s bf16 (394 TOPS int8)
 
 
+def _w8a8() -> bool:
+    from flux_generator_tpu.ops.linear import w8a8_enabled
+
+    return w8a8_enabled()
+
+
 def flux_denoise_flops(cfg, l_img: int, l_txt: int) -> float:
     """Honest per-forward matmul FLOPs with per-matmul token counts
     (VERDICT r1 weak #3: 2·P·L over-counts — double-block txt matmuls see
@@ -297,10 +303,13 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
         "denoise_tflop": round(
             batch * steps * flux_denoise_flops(cfg, (h // 2) * (w // 2), 256) / 1e12, 2
         ),
+        # MFU against the peak of the datapath actually used: bf16 matmuls
+        # (197 TFLOP/s) or, under FGT_W8A8, int8 MXU ops (394 TOPS)
         "denoise_mfu_pct": round(
             100 * batch * steps * flux_denoise_flops(cfg, (h // 2) * (w // 2), 256)
-            / denoise_s / V5E_BF16_PEAK, 1,
+            / denoise_s / (2 * V5E_BF16_PEAK if _w8a8() else V5E_BF16_PEAK), 1,
         ),
+        "mfu_datapath": "int8-mxu" if _w8a8() else "bf16",
     }
 
 

@@ -33,11 +33,12 @@ from ...ops.rope import apply_rope, multi_axis_rope
 from ...runtime.config import use_pallas_attention
 
 
-def _rope_attention(q, k, v, cos, sin):
+def _rope_attention(q, k, v, cos, sin, use_pallas=None):
     """RoPE + SDPA: ring attention for long sequences when a mesh is set
     (sequence parallel, >2048² generation), else the Pallas fused kernel on
     TPU, else the XLA einsum. Lane-aligned head dims only — tiny test
-    configs fall back to XLA."""
+    configs fall back to XLA. use_pallas=False forces the XLA path — the
+    Pallas kernel has no backward rule, so training uses XLA attention."""
     from ...runtime.config import ring_attention_params
 
     mesh, axis = ring_attention_params(q.shape[1])
@@ -47,7 +48,9 @@ def _rope_attention(q, k, v, cos, sin):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         return ring_attention(q, k, v, mesh, axis=axis)
-    if use_pallas_attention() and q.shape[-1] % 64 == 0:
+    if use_pallas is None:
+        use_pallas = use_pallas_attention()
+    if use_pallas and q.shape[-1] % 64 == 0:
         from ...ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, cos=cos, sin=sin)
@@ -208,7 +211,7 @@ def _attn_qkv(p, x, num_heads):
     return q, k, _qkv_heads(v, num_heads)
 
 
-def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig):
+def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig, use_pallas=None):
     b, l, h = img.shape
     s = txt.shape[1]
 
@@ -229,7 +232,7 @@ def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig):
     q = jnp.concatenate([tq, iq], axis=1)
     k = jnp.concatenate([tk, ik], axis=1)
     v = jnp.concatenate([tv, iv], axis=1)
-    attn = _rope_attention(q, k, v, cos, sin).reshape(b, s + l, h)
+    attn = _rope_attention(q, k, v, cos, sin, use_pallas).reshape(b, s + l, h)
     txt_attn, img_attn = attn[:, :s], attn[:, s:]
 
     img = img + i_gate * dense(p["img_attn"]["proj"], img_attn)
@@ -248,7 +251,7 @@ def _double_block(p, img, txt, vec, cos, sin, cfg: FluxConfig):
     return img, txt
 
 
-def _single_block(p, x, vec, cos, sin, cfg: FluxConfig):
+def _single_block(p, x, vec, cos, sin, cfg: FluxConfig, use_pallas=None):
     b, l, h = x.shape
     shift, scale, gate = _modulation(p["modulation"], vec, 1)
     x_mod = (1 + scale) * layer_norm(x, eps=1e-6) + shift
@@ -259,7 +262,7 @@ def _single_block(p, x, vec, cos, sin, cfg: FluxConfig):
     q = rms_norm(_qkv_heads(q, cfg.num_heads), p["q_norm"])
     k = rms_norm(_qkv_heads(k, cfg.num_heads), p["k_norm"])
     v = _qkv_heads(v, cfg.num_heads)
-    attn = _rope_attention(q, k, v, cos, sin).reshape(b, l, h)
+    attn = _rope_attention(q, k, v, cos, sin, use_pallas).reshape(b, l, h)
 
     y = dense(
         p["linear2"],
@@ -289,6 +292,7 @@ def flux_forward(
     guidance: Optional[jax.Array] = None,
     remat: bool = False,
     capture_stats: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """img: (B, L_img, in_channels) packed 2x2 latent patches; txt: (B, L_txt,
     context_in_dim) T5 features; y: (B, vec_in_dim) pooled CLIP; timesteps,
@@ -321,11 +325,11 @@ def flux_forward(
     dbl_body = _double_block
     sgl_body = _single_block
     if remat:
-        dbl_body = jax.checkpoint(_double_block, static_argnums=(6,))
-        sgl_body = jax.checkpoint(_single_block, static_argnums=(5,))
+        dbl_body = jax.checkpoint(_double_block, static_argnums=(6, 7))
+        sgl_body = jax.checkpoint(_single_block, static_argnums=(5, 6))
 
     def dbl(carry, p):
-        i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg)
+        i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg, use_pallas)
         ys = jnp.stack([_act_stats(i), _act_stats(t)]) if capture_stats else None
         return (i, t), ys
 
@@ -334,7 +338,7 @@ def flux_forward(
     x = jnp.concatenate([txt, img], axis=1)
 
     def sgl(carry, p):
-        out = sgl_body(p, carry, vec, cos, sin, cfg)
+        out = sgl_body(p, carry, vec, cos, sin, cfg, use_pallas)
         return out, (_act_stats(out) if capture_stats else None)
 
     x, sgl_stats = jax.lax.scan(sgl, x, params["single_blocks"])

@@ -314,5 +314,6 @@ class FluxPipeline:
             timesteps=t.astype(self.dtype), y=vec,
             guidance=guidance if self.flow_cfg.guidance_embed else None,
             remat=True,  # per-block gradient checkpointing
+            use_pallas=False,  # the flash kernel has no backward rule
         )
         return jnp.mean((pred + x_0 - eps).astype(jnp.float32) ** 2)

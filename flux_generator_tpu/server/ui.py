@@ -132,11 +132,15 @@ document.querySelectorAll('.tab').forEach(t => t.onclick = () => {
   document.getElementById('panel-' + t.dataset.tab).classList.add('active');
 });
 
-function pollProgress(bar) {
+function pollProgress(bar, previewEl) {
   return setInterval(async () => {
     try {
       const p = await (await fetch('/sdapi/v1/progress')).json();
       bar.hidden = false; bar.value = p.progress;
+      // live latent preview (A1111 current_image semantics)
+      if (previewEl && p.current_image) {
+        previewEl.innerHTML = `<img src="${p.current_image}" style="opacity:.7">`;
+      }
     } catch (e) {}
   }, 500);
 }
@@ -160,7 +164,7 @@ document.getElementById('img-go').onclick = async () => {
   const btn = document.getElementById('img-go'), stats = document.getElementById('img-stats');
   const bar = document.getElementById('img-progress');
   btn.disabled = true; stats.textContent = 'Generating…';
-  const timer = pollProgress(bar); const t0 = performance.now();
+  const timer = pollProgress(bar, document.getElementById('image-out')); const t0 = performance.now();
   try {
     const body = {
       prompt: document.getElementById('img-prompt').value,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_optimizer(learning_rate: float, warmup: int, total: int, trainable_mask):
+def build_optimizer(learning_rate: float, warmup: int, total: int):
     import optax
 
     schedule = optax.join_schedules(
@@ -37,27 +37,33 @@ def build_optimizer(learning_rate: float, warmup: int, total: int, trainable_mas
         ],
         [warmup],
     )
-    # optax.masked alone passes the RAW gradient through as the update for
-    # unmasked leaves — frozen base weights must get set_to_zero explicitly.
-    labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
-    return optax.multi_transform(
-        {"train": optax.adam(schedule), "freeze": optax.set_to_zero()}, labels
-    )
+    # the optimizer sees ONLY the extracted LoRA tree — base weights never
+    # enter the optimizer (frozen by construction, not by masking)
+    return optax.adam(schedule)
 
 
-def make_train_step(pipeline, optimizer, grad_accumulate: int, block_mask=None):
-    """Returns a jitted step(params, opt_state, accum, key, batch, i) with
-    static (is_first, should_step). block_mask (per-leaf 0/1 multipliers over
-    the stacked layer axis) restricts LoRA training to the last N blocks —
-    the GSPMD equivalent of the reference's linear_to_lora_layers block cut."""
+def make_train_step(pipeline, optimizer, base_params, grad_accumulate: int,
+                    block_mask=None):
+    """Returns a jitted step over the extracted LoRA tree ONLY — gradients
+    are never materialized for the (possibly int8-quantized) 12B base, which
+    is what lets full-size LoRA fine-tuning fit a single 16 GB chip.
+    block_mask (per-leaf 0/1 multipliers over the stacked layer axis)
+    restricts LoRA training to the last N blocks — the GSPMD equivalent of
+    the reference's linear_to_lora_layers block cut."""
+    from .lora import merge_lora
 
+    # base params enter as a jit ARGUMENT (12 GB of closure constants would
+    # otherwise be embedded in the lowered program and shipped through the
+    # compile path)
     @partial(jax.jit, static_argnames=("is_first", "should_step"))
-    def step(flow_params, opt_state, accum, key, x0, t5f, clipf, guidance,
-             is_first: bool, should_step: bool):
-        def loss_fn(fp):
-            return pipeline.training_loss(fp, key, x0, t5f, clipf, guidance)
+    def _step(base, lora_params, opt_state, accum, key, x0, t5f, clipf,
+              guidance, is_first: bool, should_step: bool):
+        def loss_fn(lp):
+            return pipeline.training_loss(
+                merge_lora(base, lp), key, x0, t5f, clipf, guidance
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(flow_params)
+        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         if block_mask is not None:
             grads = jax.tree.map(
                 lambda g, m: (g * m).astype(g.dtype), grads, block_mask
@@ -70,10 +76,16 @@ def make_train_step(pipeline, optimizer, grad_accumulate: int, block_mask=None):
             import optax
 
             mean_grads = jax.tree.map(lambda g: g / grad_accumulate, accum)
-            updates, opt_state = optimizer.update(mean_grads, opt_state, flow_params)
-            flow_params = optax.apply_updates(flow_params, updates)
+            updates, opt_state = optimizer.update(mean_grads, opt_state, lora_params)
+            lora_params = optax.apply_updates(lora_params, updates)
             accum = jax.tree.map(jnp.zeros_like, accum)
-        return loss, flow_params, opt_state, accum
+        return loss, lora_params, opt_state, accum
+
+    def step(lora_params, opt_state, accum, key, x0, t5f, clipf, guidance,
+             is_first: bool, should_step: bool):
+        return _step(base_params, lora_params, opt_state, accum, key,
+                     x0, t5f, clipf, guidance,
+                     is_first=is_first, should_step=should_step)
 
     return step
 
@@ -100,7 +112,7 @@ def train(args, pipeline=None, dataset=None):
     from ..parallel.sharding import logical_sharding
     from .checkpoints import save_adapter, save_config
     from .datasets import load_dataset
-    from .lora import apply_lora_to_flux, lora_block_mask, lora_only_filter
+    from .lora import apply_lora_to_flux, lora_block_mask
     from .trainer import Trainer
 
     from ..parallel.distributed import initialize_multihost, process_info
@@ -131,9 +143,16 @@ def train(args, pipeline=None, dataset=None):
         pipeline.params["flow"], rank=args.lora_rank,
         key=jax.random.PRNGKey(0x0F0F0F0F),
     )
+    if getattr(args, "quantize_base", False):
+        # int8-quantize the FROZEN base so full-size 12B LoRA training fits
+        # one 16 GB chip (base 12 GB + bf16 LoRA + remat activations); the
+        # adapters stay bf16 and gradients never touch the base
+        from ..ops.quant import quantize_tree
+
+        flow = quantize_tree(flow)
+        print("quantized frozen base weights to int8", flush=True)
     cfg = pipeline.flow_cfg
     block_mask = lora_block_mask(flow, args.lora_blocks, cfg.depth, cfg.depth_single_blocks)
-    trainable = lora_only_filter(flow)
 
     # data axis must divide the global batch; drop devices that don't fit
     # (the reference requires the same: one batch shard per MPI rank)
@@ -152,21 +171,25 @@ def train(args, pipeline=None, dataset=None):
     data_sharding = NamedSharding(mesh, P("data"))
     pipeline.params["flow"] = flow
 
+    # gradients flow ONLY through the extracted LoRA tree; the base (bf16 or
+    # int8) is closed over as a constant of the step function
+    from .lora import extract_lora, merge_lora
+
+    lora = extract_lora(flow)
     optimizer = build_optimizer(args.learning_rate, args.warmup_steps,
-                                args.iterations, trainable)
-    opt_state = optimizer.init(flow)
+                                args.iterations)
+    opt_state = optimizer.init(lora)
     start_iter = 0
     if getattr(args, "resume", False):
         from .checkpoints import load_train_state
 
-        restored = load_train_state(output_dir / "ckpt", flow, opt_state)
+        restored = load_train_state(output_dir / "ckpt", lora, opt_state)
         if restored is not None:
-            start_iter, flow, opt_state = restored
-            pipeline.params["flow"] = flow
+            start_iter, lora, opt_state = restored
             print(f"Resumed from step {start_iter}", flush=True)
     step_fn = make_train_step(
-        pipeline, optimizer, args.grad_accumulate,
-        block_mask=block_mask if args.lora_blocks > 0 else None,
+        pipeline, optimizer, flow, args.grad_accumulate,
+        block_mask=extract_lora(block_mask) if args.lora_blocks > 0 else None,
     )
 
     trainer = Trainer(
@@ -177,7 +200,7 @@ def train(args, pipeline=None, dataset=None):
 
     guidance = jnp.full((args.batch_size,), args.guidance, pipeline.dtype) \
         if cfg.guidance_embed else None
-    accum = jax.tree.map(jnp.zeros_like, flow)
+    accum = jax.tree.map(jnp.zeros_like, lora)
     key = jax.random.PRNGKey(0xF0F0F0F0)
 
     def put(x):
@@ -204,12 +227,12 @@ def train(args, pipeline=None, dataset=None):
         clipf = put(clipf)
         is_first = (i % args.grad_accumulate) == 0
         should_step = (i % args.grad_accumulate) == (args.grad_accumulate - 1)
-        loss, flow, opt_state, accum = step_fn(
-            flow, opt_state, accum, jax.random.fold_in(key, i),
+        loss, lora, opt_state, accum = step_fn(
+            lora, opt_state, accum, jax.random.fold_in(key, i),
             x0, t5f, clipf, guidance,
             is_first=is_first, should_step=should_step,
         )
-        pipeline.params["flow"] = flow
+        pipeline.params["flow"] = merge_lora(flow, lora)
         losses.append(float(loss))
 
         opt_step = (i + 1) // args.grad_accumulate
@@ -227,16 +250,16 @@ def train(args, pipeline=None, dataset=None):
         if is_main and should_step and args.checkpoint_every > 0 and opt_step % args.checkpoint_every == 0:
             save_adapter(
                 output_dir / f"{opt_step:07d}_adapters.safetensors",
-                flow, args.lora_rank, args.lora_blocks,
+                merge_lora(flow, lora), args.lora_rank, args.lora_blocks,
             )
             if getattr(args, "resume", False) or getattr(args, "save_state", False):
                 from .checkpoints import save_train_state
 
-                save_train_state(output_dir / "ckpt", opt_step, flow, opt_state)
+                save_train_state(output_dir / "ckpt", opt_step, lora, opt_state)
     # final adapter
     if pinfo["process_index"] == 0:
-        save_adapter(output_dir / "final_adapters.safetensors", flow,
-                     args.lora_rank, args.lora_blocks)
+        save_adapter(output_dir / "final_adapters.safetensors",
+                     merge_lora(flow, lora), args.lora_rank, args.lora_blocks)
     return pipeline
 
 
@@ -265,6 +288,9 @@ def build_parser():
                         help="resume from the latest orbax train-state checkpoint")
     parser.add_argument("--save-state", action="store_true",
                         help="write orbax train-state checkpoints alongside adapters")
+    parser.add_argument("--quantize-base", action="store_true",
+                        help="int8-quantize the frozen base weights — fits "
+                             "full 12B LoRA training on one 16 GB chip")
     return parser
 
 

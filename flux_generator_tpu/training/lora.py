@@ -122,6 +122,45 @@ def lora_block_mask(flow_params, num_blocks: int, depth: int, depth_single: int)
     }
 
 
+def extract_lora(tree):
+    """Prune to only the lora_a/lora_b leaves (same nesting, empty branches
+    dropped). Training takes gradients over THIS tree — differentiating the
+    full 12B base wastes a backward pass's memory and FLOPs, and is
+    impossible outright when the frozen base is int8-quantized."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("lora_a", "lora_b"):
+                    out[k] = v
+                else:
+                    sub = walk(v)
+                    if sub is not None:
+                        out[k] = sub
+            return out or None
+        if isinstance(node, list):
+            subs = [walk(v) for v in node]
+            return subs if any(s is not None for s in subs) else None
+        return None
+
+    return walk(tree) or {}
+
+
+def merge_lora(full, lora):
+    """Overlay an extract_lora tree back onto the full param tree."""
+    if lora is None:
+        return full
+    if isinstance(full, dict):
+        out = dict(full)
+        for k, v in lora.items():
+            out[k] = merge_lora(full.get(k), v) if k not in ("lora_a", "lora_b") else v
+        return out
+    if isinstance(full, list):
+        return [merge_lora(f, l) for f, l in zip(full, lora)]
+    return lora
+
+
 def fuse_lora(params):
     """Fold adapters into kernels: W += A@B (flux/lora.py:28-43, scale 1)."""
 

@@ -138,6 +138,40 @@ def test_dreambooth_freeze_and_block_mask(tmp_path):
     assert any(a.any() for a in sgl_b), "unmasked single blocks did not train"
 
 
+@pytest.mark.slow
+def test_dreambooth_quantize_base(tmp_path):
+    """--quantize-base: the frozen base is int8 (kernel_q), gradients flow
+    only through the bf16 LoRA tree, and training still learns — the
+    mechanism that fits full 12B LoRA fine-tuning on one 16 GB chip."""
+    _make_dataset(tmp_path)
+    # hidden 512 so the reference quantize predicate (input % 512 == 0,
+    # txt2image.py:28-29) actually fires at tiny depth
+    pipe = FluxPipeline.random_init(
+        "flux-schnell", tiny=True, dtype=jnp.float32,
+        hidden_size=512, num_heads=4, axes_dim=(16, 56, 56),
+    )
+    pipe.clip_tokenizer = _TokStub()
+    pipe.t5_tokenizer = _TokStub()
+
+    args = build_parser().parse_args([
+        str(tmp_path), "--model", "schnell", "--iterations", "2",
+        "--batch-size", "2", "--resolution", "32x32", "--num-augmentations", "2",
+        "--grad-accumulate", "1", "--lora-rank", "2", "--progress-every", "0",
+        "--checkpoint-every", "0", "--warmup-steps", "1", "--quantize-base",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    trained = train(args, pipeline=pipe, dataset=load_dataset(str(tmp_path)))
+    flow = trained.params["flow"]
+    leaves = {
+        "/".join(str(k) for k in p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(flow)
+    }
+    assert any("kernel_q" in k for k in leaves), "base was not quantized"
+    lora_b = [v for k, v in leaves.items() if "lora_b" in k]
+    assert any(v.any() for v in lora_b), "LoRA did not train on int8 base"
+    assert (tmp_path / "out" / "final_adapters.safetensors").exists()
+
+
 def test_save_config_sorted(tmp_path):
     save_config(tmp_path / "c.json", {"b": 2, "a": 1, "fn": lambda: 0})
     with open(tmp_path / "c.json") as f:
