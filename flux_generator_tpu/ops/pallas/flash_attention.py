@@ -55,7 +55,7 @@ ONE_SHOT_MAX = 2048
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
-                 o_ref, *, scale: float, l_actual: int, use_rope: bool):
+                 o_ref, lse_ref, *, scale: float, l_actual: int, use_rope: bool):
     q = q_ref[0].astype(jnp.float32)
     if use_rope:
         q = _rope_in_kernel(q, qcos_ref[0].astype(jnp.float32),
@@ -81,10 +81,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(denom)  # (BLK_Q, 1) logsumexp for the backward
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
-                  o_ref, m_scr, l_scr, acc_scr,
+                  o_ref, lse_ref, m_scr, l_scr, acc_scr,
                   *, scale: float, l_actual: int, use_rope: bool, n_kb: int):
     """True blocked flash attention: grid (bh, q_blocks, k_blocks) with K/V
     STREAMED one (BLK_K, D) block per grid step — VMEM holds one q block,
@@ -129,16 +130,307 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     @pl.when(kb == n_kb - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _apply_rope_expanded(x, cos_e, sin_e):
+    """Rotate interleaved pairs of x: (BH, L, D) with PAIR-EXPANDED tables
+    (B or 1, L, D) broadcast over heads — the jnp twin of _rope_in_kernel,
+    used by the backward (which precomputes rotated q/k once)."""
+    e = x[..., 0::2]
+    o = x[..., 1::2]
+    swapped = jnp.stack([-o, e], axis=-1).reshape(x.shape)
+    return x * cos_e + swapped * sin_e
+
+
+def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
+              use_rope, interpret):
+    """Pallas forward over head-flattened padded arrays → (out, lse)."""
+    n_q = l_pad // BLK_Q
+    blk_tab = BLK_Q if use_rope else 1
+    dtype = qh.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
+        jax.ShapeDtypeStruct((b * h, l_pad, 1), jnp.float32),
+    )
+    lse_spec = pl.BlockSpec((1, BLK_Q, 1), lambda bh, qi, *r: (bh, qi, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, *r: (bh, qi, 0),
+                          memory_space=pltpu.VMEM)
+
+    if l_pad <= ONE_SHOT_MAX:
+        kernel = functools.partial(
+            _attn_kernel, scale=scale, l_actual=l, use_rope=use_rope
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(b * h, n_q),
+            in_specs=[
+                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l_pad, d), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l_pad, d), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # q-block rope rows (indexed by batch = bh // h)
+                pl.BlockSpec((1, blk_tab, d), lambda bh, qi: (bh // h, qi if blk_tab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_tab, d), lambda bh, qi: (bh // h, qi if blk_tab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+                # full-length rope rows for k (short sequences only)
+                pl.BlockSpec((1, l_pad if use_rope else 1, d), lambda bh, qi: (bh // h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l_pad if use_rope else 1, d), lambda bh, qi: (bh // h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(o_spec, lse_spec),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(qh, kh, vh, cos_e, sin_e, cos_e, sin_e)
+    else:
+        # streamed flash path: K/V (and their RoPE rows) arrive one BLK_K
+        # block per innermost grid step; running softmax state in scratch
+        n_kb = l_pad // BLK_K
+        blk_ktab = BLK_K if use_rope else 1
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, l_actual=l, use_rope=use_rope,
+            n_kb=n_kb,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(b * h, n_q, n_kb),
+            in_specs=[
+                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, kb: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_tab, d),
+                             lambda bh, qi, kb: (bh // h, qi if blk_tab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_tab, d),
+                             lambda bh, qi, kb: (bh // h, qi if blk_tab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_ktab, d),
+                             lambda bh, qi, kb: (bh // h, kb if blk_ktab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk_ktab, d),
+                             lambda bh, qi, kb: (bh // h, kb if blk_ktab > 1 else 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(o_spec, lse_spec),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((BLK_Q, 1), jnp.float32),
+                pltpu.VMEM((BLK_Q, 1), jnp.float32),
+                pltpu.VMEM((BLK_Q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qh, kh, vh, cos_e, sin_e, cos_e, sin_e)
+    return out, lse
+
+
+# ---------------------------------------------------------------- backward
+#
+# Standard flash-attention backward over blocked tiles, two passes so each
+# output accumulates along its own innermost grid axis:
+#   dQ kernel: grid (bh, q_blocks, k_blocks), dq accumulated over k blocks
+#   dKV kernel: grid (bh, k_blocks, q_blocks), dk/dv accumulated over q blocks
+# RoPE-rotated q/k (and D = rowsum(dO*O)) are precomputed OUTSIDE the kernels
+# in one elementwise pass; the rotation is orthogonal, so input grads are the
+# output grads rotated back (sin → -sin).
+
+
+def _bwd_dq_kernel(qr_ref, kr_ref, v_ref, do_ref, lse_ref, dvec_ref,
+                   dq_ref, dq_scr, *, scale, l_actual, n_kb, blk_k):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qr = qr_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)          # (BLK_Q, 1)
+    dvec = dvec_ref[0].astype(jnp.float32)        # (BLK_Q, 1)
+    kr = kr_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)
+    kidx = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(kidx < l_actual, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dvec)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, kr, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(qr_ref, kr_ref, v_ref, do_ref, lse_ref, dvec_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale, l_actual, n_q):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qr = qr_ref[0].astype(jnp.float32)            # (BLK_Q, d)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)
+    dvec = dvec_ref[0].astype(jnp.float32)
+    kr = kr_ref[0].astype(jnp.float32)            # (BLK_K_b, d)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                     # (BLK_Q, BLK_K_b)
+    p = jnp.exp(s - lse)
+    qidx = qb * qr.shape[0] + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    p = jnp.where(qidx < l_actual, p, 0.0)        # padded q rows contribute 0
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dvec)
+    # contract over the query dim: p^T dO and ds^T qr, expressed as
+    # dot_general with leading contracting dims (no explicit transpose)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, qr, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(qb == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
+              interpret):
+    """dq/dk/dv (w.r.t. the ROTATED q/k) via the two blocked kernels."""
+    n_q = l_pad // BLK_Q
+    blk_k = BLK_K if l_pad % BLK_K == 0 and l_pad > ONE_SHOT_MAX else BLK_Q
+    n_kb = l_pad // blk_k
+    dtype = qr.dtype
+
+    def spec_q(ax):
+        return pl.BlockSpec((1, BLK_Q, d), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_k(ax):
+        return pl.BlockSpec((1, blk_k, d), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_s(ax):
+        return pl.BlockSpec((1, BLK_Q, 1), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, l_actual=l,
+                          n_kb=n_kb, blk_k=blk_k),
+        grid=(b * h, n_q, n_kb),
+        in_specs=[spec_q(0), spec_k(1), spec_k(1), spec_q(0), spec_s(0), spec_s(0)],
+        out_specs=spec_q(0),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
+        scratch_shapes=[pltpu.VMEM((BLK_Q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qr, kr, vh, do, lse, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, l_actual=l, n_q=n_q),
+        grid=(b * h, n_kb, n_q),
+        in_specs=[spec_q(1), spec_k(0), spec_k(0), spec_q(1), spec_s(1), spec_s(1)],
+        out_specs=(spec_k(0), spec_k(0)),
+        out_shape=(jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
+                   jax.ShapeDtypeStruct((b * h, l_pad, d), dtype)),
+        scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
+                        pltpu.VMEM((blk_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qr, kr, vh, do, lse, dvec)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _flash_core(scale, l, l_pad, b, h, d, use_rope, interpret,
+                qh, kh, vh, cos_e, sin_e):
+    out, _ = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
+                       l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
+                       interpret=interpret)
+    return out
+
+
+def _flash_core_fwd(scale, l, l_pad, b, h, d, use_rope, interpret,
+                    qh, kh, vh, cos_e, sin_e):
+    out, lse = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
+                         l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
+                         interpret=interpret)
+    return out, (qh, kh, vh, cos_e, sin_e, out, lse)
+
+
+def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret,
+                    res, do):
+    qh, kh, vh, cos_e, sin_e, out, lse = res
+
+    def per_head(x):
+        return jnp.repeat(x, h, axis=0) if x.shape[0] * h == qh.shape[0] else x
+
+    if use_rope:
+        ce, se = per_head(cos_e), per_head(sin_e)
+        qr = _apply_rope_expanded(qh, ce, se)
+        kr = _apply_rope_expanded(kh, ce, se)
+    else:
+        qr, kr = qh, kh
+
+    dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1, keepdims=True)
+    dq_r, dk_r, dv = _bwd_core(qr, kr, vh, do, lse, dvec, scale=scale, l=l,
+                               l_pad=l_pad, b=b, h=h, d=d, interpret=interpret)
+    if use_rope:
+        # rotation is orthogonal: pull gradients back with the inverse (−θ)
+        dq = _apply_rope_expanded(dq_r, ce, -se)
+        dk = _apply_rope_expanded(dk_r, ce, -se)
+    else:
+        dq, dk = dq_r, dk_r
+    zc = jnp.zeros_like(cos_e)
+    return dq.astype(qh.dtype), dk.astype(kh.dtype), dv.astype(vh.dtype), zc, zc
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
     """q, k, v: (B, L, H, D); cos/sin: optional (B, L, D/2) RoPE tables
-    applied to q AND k inside the kernel. Returns (B, L, H, D)."""
+    applied to q AND k inside the kernel. Returns (B, L, H, D).
+    Differentiable: custom VJP runs the blocked flash backward kernels
+    (dQ / dKV passes over the same tiles), so training can use the kernel
+    at sequence lengths where XLA attention would materialize L² logits."""
     b, l, h, d = q.shape
     if scale is None:
         scale = d**-0.5
@@ -167,84 +459,6 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         cos_e = jnp.zeros((b, 1, d), dtype)
         sin_e = jnp.zeros((b, 1, d), dtype)
 
-    n_q = l_pad // BLK_Q
-    blk_tab = BLK_Q if use_rope else 1
-
-    if l_pad <= ONE_SHOT_MAX:
-        kernel = functools.partial(
-            _attn_kernel, scale=scale, l_actual=l, use_rope=use_rope
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(b * h, n_q),
-            in_specs=[
-                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l_pad, d), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l_pad, d), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                # q-block rope rows (indexed by batch = bh // h)
-                pl.BlockSpec((1, blk_tab, d), lambda bh, qi: (bh // h, qi if blk_tab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk_tab, d), lambda bh, qi: (bh // h, qi if blk_tab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-                # full-length rope rows for k (short sequences only)
-                pl.BlockSpec((1, l_pad if use_rope else 1, d), lambda bh, qi: (bh // h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l_pad if use_rope else 1, d), lambda bh, qi: (bh // h, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
-            interpret=interpret,
-        )(qh, kh, vh, cos_e, sin_e, cos_e, sin_e)
-    else:
-        # streamed flash path: K/V (and their RoPE rows) arrive one BLK_K
-        # block per innermost grid step; running softmax state in scratch
-        n_kb = l_pad // BLK_K
-        blk_ktab = BLK_K if use_rope else 1
-        kernel = functools.partial(
-            _flash_kernel, scale=scale, l_actual=l, use_rope=use_rope,
-            n_kb=n_kb,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(b * h, n_q, n_kb),
-            in_specs=[
-                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, kb: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk_tab, d),
-                             lambda bh, qi, kb: (bh // h, qi if blk_tab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk_tab, d),
-                             lambda bh, qi, kb: (bh // h, qi if blk_tab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk_ktab, d),
-                             lambda bh, qi, kb: (bh // h, kb if blk_ktab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk_ktab, d),
-                             lambda bh, qi, kb: (bh // h, kb if blk_ktab > 1 else 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, kb: (bh, qi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((BLK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLK_Q, d), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(qh, kh, vh, cos_e, sin_e, cos_e, sin_e)
-
-    out = out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)
-    return out
+    out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope,
+                      interpret, qh, kh, vh, cos_e, sin_e)
+    return out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)

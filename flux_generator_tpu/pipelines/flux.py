@@ -314,6 +314,8 @@ class FluxPipeline:
             timesteps=t.astype(self.dtype), y=vec,
             guidance=guidance if self.flow_cfg.guidance_embed else None,
             remat=True,  # per-block gradient checkpointing
-            use_pallas=False,  # the flash kernel has no backward rule
+            # the flash kernel is differentiable (custom VJP runs the blocked
+            # dQ/dKV backward kernels), so training uses it wherever
+            # inference does (runtime/config auto switch)
         )
         return jnp.mean((pred + x_0 - eps).astype(jnp.float32) ** 2)

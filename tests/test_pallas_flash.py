@@ -89,3 +89,42 @@ def test_flash_fused_rope_matches_unfused():
     ref = dot_product_attention(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
     out = flash_attention(q, k, v, cos=cos, sin=sin, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize("l,use_rope", [(192, False), (192, True),
+                                        (2560, False), (2560, True)])
+def test_flash_backward_matches_xla(l, use_rope):
+    """custom-VJP blocked backward (dQ + dKV passes) must match XLA autodiff
+    through the reference attention — both one-shot (192, padded) and
+    streamed (2560) forward paths, with and without fused RoPE."""
+    b, h, d = 2, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    if use_rope:
+        pos = jnp.broadcast_to(jnp.arange(l, dtype=jnp.float32), (b, l))
+        cos, sin = rope_cos_sin(pos, d)
+    else:
+        cos = sin = None
+    tgt = jax.random.normal(ks[3], (b, l, h, d))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, cos=cos, sin=sin, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        if use_rope:
+            out = dot_product_attention(
+                apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
+        else:
+            out = dot_product_attention(q, k, v)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch (l={l}, rope={use_rope})",
+        )
