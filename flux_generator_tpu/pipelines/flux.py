@@ -256,6 +256,53 @@ class FluxPipeline:
             )
             yield x_t
 
+    def generate_latents_batch(
+        self,
+        texts,
+        seeds,
+        num_steps: int = 2,
+        guidance: float = 4.0,
+        latent_size: Tuple[int, int] = (64, 64),
+    ):
+        """Batched multi-PROMPT generation: n different prompts with n
+        different seeds denoise in ONE batched program (the serving layer
+        coalesces concurrent users into this — the reference serializes
+        every request through its Gradio queue). Same generator protocol:
+        yields conditioning, then one latent batch per step."""
+        h, w = latent_size
+        n = len(texts)
+        assert n == len(seeds)
+        t5_rows, clip_rows = [], []
+        for text in texts:
+            t5_tok, clip_tok = self.tokenize(text)
+            t5_rows.append(t5_tok)
+            clip_rows.append(clip_tok)
+        t5_tokens = jnp.concatenate(t5_rows, axis=0)
+        clip_tokens = jnp.concatenate(clip_rows, axis=0)
+
+        # per-request noise streams: one key per seed
+        priors = [
+            sampler_mod.sample_prior(
+                jax.random.PRNGKey(0 if s is None else int(s)),
+                (1, h, w, self.ae_cfg.z_channels), self.dtype,
+            )
+            for s in seeds
+        ]
+        x_t = pack_latents(jnp.concatenate(priors, axis=0))
+        x_ids = latent_ids(n, h, w)
+
+        txt, txt_ids, vec = self.prepare_conditioning(n, t5_tokens, clip_tokens)
+        yield (x_t, x_ids, txt, txt_ids, vec)
+
+        ts = self.timesteps(num_steps, x_t.shape[1])
+        g = jnp.asarray(guidance, self.dtype)
+        for i in range(num_steps):
+            x_t = self._step(
+                self.params["flow"], x_t, x_ids, txt, txt_ids, vec,
+                jnp.asarray(ts[i], self.dtype), jnp.asarray(ts[i + 1], self.dtype), g,
+            )
+            yield x_t
+
     def denoise_latents(self, x_t, x_ids, txt, txt_ids, vec, num_steps, guidance):
         """Fused fast path: entire schedule in one device program."""
         ts = jnp.asarray(self.timesteps(num_steps, x_t.shape[1]), self.dtype)

@@ -126,6 +126,13 @@ class FluxAPI:
         self._sd_factory = sd_factory
         self.music_pipeline = None
         self._music_factory = None
+        # cross-user coalescing: concurrent flux requests with identical
+        # (model, size, steps, guidance) merge into ONE batched denoise —
+        # the lock-holder drains compatible waiters (the reference's Gradio
+        # queue strictly serializes every request)
+        self._pending: dict = {}
+        self._batch_lock = threading.Lock()
+        self.coalesce_buckets = (1, 2, 4)  # compiled-executable batch sizes
 
     @contextlib.contextmanager
     def _admit(self):
@@ -185,9 +192,154 @@ class FluxAPI:
                 )
         return self.music_pipeline
 
+    # -------------------------------------------------- coalesced flux path
+
+    def generate_flux_coalesced(self, prompt: str, model: str, width: int,
+                                height: int, steps: Optional[int],
+                                guidance: float, seed: Optional[int]):
+        """One flux image via the coalescing batcher: if other requests with
+        the same (model, size, steps, guidance) are waiting on the lock when
+        this one becomes the generator, they all denoise in one batch."""
+        steps = steps or (50 if model in ("flux-dev", "dev") else 2)
+        flux_model = model if model.startswith("flux-") else f"flux-{model}"
+        key = (flux_model, width, height, steps, float(guidance))
+        item = {"prompt": prompt, "seed": seed, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._batch_lock:
+            self._pending.setdefault(key, []).append(item)
+        try:
+            with self._admit():
+                if not item["event"].is_set():  # not served by an earlier leader
+                    with self._batch_lock:
+                        group = self._pending.pop(key, [])
+                        cap = self.coalesce_buckets[-1]
+                        take, rest = group[:cap], group[cap:]
+                        if rest:
+                            self._pending[key] = rest
+                    self._run_flux_batch(take, flux_model, width, height,
+                                         steps, guidance)
+        except QueueFullError:
+            with self._batch_lock:
+                grp = self._pending.get(key, [])
+                if item in grp:
+                    grp.remove(item)
+            if not item["event"].is_set():
+                raise
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run_flux_batch(self, items, flux_model, width, height, steps, guidance):
+        import time as _time
+
+        try:
+            t_start = _time.time()
+            pipeline = self.init_pipeline(flux_model)
+            latent_size = to_latent_size((height, width))
+            n = len(items)
+            if not hasattr(pipeline, "generate_latents_batch"):
+                # legacy/mock pipelines: serve the group one by one
+                self.progress.start(f"txt2img:{flux_model}", n * (steps + 1))
+                for it in items:
+                    gen = pipeline.generate_latents(
+                        it["prompt"], n_images=1, num_steps=steps,
+                        latent_size=latent_size, guidance=guidance,
+                        seed=it["seed"],
+                    )
+                    next(gen)
+                    x_t = None
+                    preview_every = max(1, steps // 4) if steps > 4 else 0
+                    for i, x_t in enumerate(gen):
+                        self.progress.step()
+                        if preview_every and (i + 1) % preview_every == 0 and i + 1 < steps:
+                            self.progress.set_preview(
+                                self._latent_preview(x_t, flux_model, latent_size)
+                            )
+                    img = np.asarray(pipeline.decode(x_t[0:1], latent_size))
+                    it["result"] = _png_data_url(
+                        (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                    )
+                    self.progress.step()
+                self.last_stats = {"total_s": round(_time.time() - t_start, 3),
+                                   "batched_requests": n}
+                return
+            # pad the group up to a compiled bucket size so arbitrary
+            # coalesce counts reuse a handful of executables
+            bucket = next(b for b in self.coalesce_buckets if b >= n)
+            texts = [it["prompt"] for it in items] + \
+                    [items[-1]["prompt"]] * (bucket - n)
+            seeds = [it["seed"] for it in items] + [0] * (bucket - n)
+            self.progress.start(f"txt2img:{flux_model} (batch {n})", steps + n)
+            latents = pipeline.generate_latents_batch(
+                texts, seeds, num_steps=steps, guidance=guidance,
+                latent_size=latent_size,
+            )
+            next(latents)  # conditioning
+            x_t = None
+            preview_every = max(1, steps // 4) if steps > 4 else 0
+            for i, x_t in enumerate(latents):
+                self.progress.step()
+                if preview_every and (i + 1) % preview_every == 0 and i + 1 < steps:
+                    self.progress.set_preview(
+                        self._latent_preview(x_t, flux_model, latent_size)
+                    )
+            images = []
+            for i in range(n):
+                img = np.asarray(pipeline.decode(x_t[i : i + 1], latent_size))
+                images.append(_png_data_url(
+                    (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                ))
+                self.progress.step()
+            from ..runtime.profiling import peak_memory_gb
+
+            self.last_stats = {
+                "total_s": round(_time.time() - t_start, 3),
+                "batched_requests": n,
+                "peak_hbm_gb": round(peak_memory_gb(), 3),
+            }
+            for it, img in zip(items, images):
+                it["result"] = img
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for it in items:
+                it["error"] = e
+        finally:
+            self.progress.start("", 0)
+            for it in items:
+                it["event"].set()
+
     # -------------------------------------------------- txt2img
 
     def txt2img(self, request: SDAPIRequest) -> SDAPIResponse:
+        if (not request.model.startswith("stabilityai/")
+                and request.batch_size * request.n_iter == 1):
+            # single-image flux requests ride the cross-user batcher
+            image = self.generate_flux_coalesced(
+                prompt=request.prompt,
+                model=request.model,
+                width=request.width,
+                height=request.height,
+                steps=request.steps,
+                guidance=request.cfg_scale,
+                seed=request.seed if request.seed >= 0 else None,
+            )
+            stats = getattr(self, "last_stats", {})
+            return SDAPIResponse(
+                images=[image],
+                parameters={
+                    "prompt": request.prompt,
+                    "negative_prompt": request.negative_prompt,
+                    "width": request.width,
+                    "height": request.height,
+                    "steps": request.steps,
+                    "cfg_scale": request.cfg_scale,
+                    "seed": request.seed,
+                    "model": request.model,
+                },
+                info=f"Generated with Flux {request.model} model"
+                     + (f" | total {stats.get('total_s')}s, coalesced batch "
+                        f"{stats.get('batched_requests')}" if stats else ""),
+            )
         images = self.generate_images(
             prompt=request.prompt,
             model=request.model,

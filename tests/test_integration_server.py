@@ -146,6 +146,62 @@ def test_live_preview_set_during_generation(real_server):
     assert all(p.startswith("data:image/png;base64,") for p in real)
 
 
+def test_concurrent_flux_requests_coalesce():
+    """Concurrent flux requests with identical params must merge into one
+    batched denoise (cross-user batching): distinct images out, and the
+    responses report the coalesced batch size. Deterministic overlap: the
+    generation lock is held while all three requests enqueue."""
+    import threading
+    import time
+
+    def factory(name):
+        pipe = FluxPipeline.random_init(name, tiny=True, dtype=jnp.float32)
+        pipe.clip_tokenizer = _TokStub()
+        pipe.t5_tokenizer = _TokStub()
+        return pipe
+
+    api = FluxAPI(pipeline_factory=factory)
+    srv = Server(api, "127.0.0.1", 0)
+    srv.start_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    results = []
+
+    def fire(seed):
+        req = urllib.request.Request(
+            base + "/sdapi/v1/txt2img",
+            json.dumps({"prompt": f"p{seed}", "model": "flux-schnell",
+                        "width": 64, "height": 64, "steps": 6,
+                        "seed": seed}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            results.append(json.loads(r.read()))
+
+    try:
+        api._gen_lock.acquire()  # stall generation while requests pile up
+        threads = [threading.Thread(target=fire, args=(s,)) for s in (1, 2, 3)]
+        for t in threads:
+            t.start()
+        for _ in range(200):
+            with api._batch_lock:
+                n_pending = sum(len(v) for v in api._pending.values())
+            if n_pending == 3:
+                break
+            time.sleep(0.05)
+        assert n_pending == 3, f"only {n_pending} pending"
+        api._gen_lock.release()
+        for t in threads:
+            t.join()
+    finally:
+        srv.shutdown()
+
+    assert len(results) == 3
+    images = [r["images"][0] for r in results]
+    assert len(set(images)) == 3, "coalesced requests must keep distinct seeds"
+    assert all("coalesced batch 3" in r["info"] for r in results), \
+        [r["info"] for r in results]
+
+
 def test_same_seed_same_image(real_server):
     def gen():
         req = urllib.request.Request(
