@@ -293,6 +293,7 @@ def flux_forward(
     remat: bool = False,
     capture_stats: bool = False,
     use_pallas: Optional[bool] = None,
+    pp: Optional[tuple] = None,
 ):
     """img: (B, L_img, in_channels) packed 2x2 latent patches; txt: (B, L_txt,
     context_in_dim) T5 features; y: (B, vec_in_dim) pooled CLIP; timesteps,
@@ -305,7 +306,12 @@ def flux_forward(
     capture_stats=True returns (out, stats) where stats holds per-block
     activation fingerprints: {"double": (depth, 2, 3) img/txt (mean,
     abs-mean, std), "single": (depth_single, 3), "final": (3,)} — the
-    per-layer checksum harness for validating real-checkpoint loads."""
+    per-layer checksum harness for validating real-checkpoint loads.
+
+    pp=(mesh, axis, microbatches) runs both block stacks pipeline-parallel:
+    layer chunks sharded over mesh axis stages, microbatches streamed GPipe-
+    style (parallel/pipeline.py). Composable with remat; not with
+    capture_stats (per-layer taps don't cross stage boundaries)."""
     dtype = img.dtype
     img = dense(params["img_in"], img)
     vec = _mlp_embedder(params["time_in"], timestep_embedding(timesteps, 256))
@@ -328,20 +334,39 @@ def flux_forward(
         dbl_body = jax.checkpoint(_double_block, static_argnums=(6, 7))
         sgl_body = jax.checkpoint(_single_block, static_argnums=(5, 6))
 
-    def dbl(carry, p):
-        i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg, use_pallas)
-        ys = jnp.stack([_act_stats(i), _act_stats(t)]) if capture_stats else None
-        return (i, t), ys
+    if pp is not None:
+        if capture_stats:
+            raise ValueError("capture_stats is not supported under pipeline parallelism")
+        from ...parallel.pipeline import pipeline_scan
 
-    (img, txt), dbl_stats = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
+        pp_mesh, pp_axis, pp_mb = pp
+        dbl_stats = sgl_stats = None
+        img, txt = pipeline_scan(
+            lambda c, p, v, co, si: dbl_body(p, c[0], c[1], v, co, si, cfg, use_pallas),
+            (img, txt), params["double_blocks"], pp_mesh, pp_axis, pp_mb,
+            extras=(vec, cos, sin),
+        )
+        x = jnp.concatenate([txt, img], axis=1)
+        x = pipeline_scan(
+            lambda c, p, v, co, si: sgl_body(p, c, v, co, si, cfg, use_pallas),
+            x, params["single_blocks"], pp_mesh, pp_axis, pp_mb,
+            extras=(vec, cos, sin),
+        )
+    else:
+        def dbl(carry, p):
+            i, t = dbl_body(p, carry[0], carry[1], vec, cos, sin, cfg, use_pallas)
+            ys = jnp.stack([_act_stats(i), _act_stats(t)]) if capture_stats else None
+            return (i, t), ys
 
-    x = jnp.concatenate([txt, img], axis=1)
+        (img, txt), dbl_stats = jax.lax.scan(dbl, (img, txt), params["double_blocks"])
 
-    def sgl(carry, p):
-        out = sgl_body(p, carry, vec, cos, sin, cfg, use_pallas)
-        return out, (_act_stats(out) if capture_stats else None)
+        x = jnp.concatenate([txt, img], axis=1)
 
-    x, sgl_stats = jax.lax.scan(sgl, x, params["single_blocks"])
+        def sgl(carry, p):
+            out = sgl_body(p, carry, vec, cos, sin, cfg, use_pallas)
+            return out, (_act_stats(out) if capture_stats else None)
+
+        x, sgl_stats = jax.lax.scan(sgl, x, params["single_blocks"])
     img = x[:, txt.shape[1] :]
 
     fl = params["final_layer"]

@@ -148,6 +148,35 @@ class FluxPipeline:
         self.params["ae"] = replicate(self.params["ae"], mesh)
         return self
 
+    def enable_pipeline_parallel(self, mesh=None, axis: str = "pipe",
+                                 microbatches: Optional[int] = None):
+        """Pipeline-parallel the flow over `mesh.shape[axis]` stages: each
+        device holds a contiguous chunk of double/single blocks (weights
+        stage-sharded — the memory win that lets a model larger than one
+        chip's HBM serve), and microbatches stream GPipe-style
+        (parallel/pipeline.py). Stacks are zero-padded to a stage multiple
+        (zero blocks are exact identities — gated residuals). Inference
+        feature: enable AFTER any quantize/LoRA-fuse, BEFORE first call."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ..parallel.pipeline import pad_stack, shard_pipeline_params
+
+        if mesh is None:
+            devs = jax.devices()
+            mesh = Mesh(np.array(devs), (axis,))
+        stages = mesh.shape[axis]
+        flow = self.params["flow"]
+        for name in ("double_blocks", "single_blocks"):
+            padded, _ = pad_stack(flow[name], stages)
+            flow[name] = shard_pipeline_params(padded, mesh, axis)
+        self.pp = (mesh, axis, microbatches)
+        # re-wrap the jitted entries: the pp flag is baked into traces, so a
+        # fresh jit cache guarantees no stale non-pp executable is reused
+        self._denoise = jax.jit(self._denoise_impl)
+        self._step = jax.jit(self._step_impl)
+        return self
+
     def enable_ring_attention(self, mesh=None, axis: str = "model",
                               threshold: int = 32768):
         """Sequence-parallel attention for very large generations (≥2048² →
@@ -200,6 +229,7 @@ class FluxPipeline:
             guidance=jnp.full((b,), guidance, self.dtype)
             if self.flow_cfg.guidance_embed
             else None,
+            pp=getattr(self, "pp", None),
         )
 
     def _step_impl(self, flow_params, x_t, x_ids, txt, txt_ids, vec, t, t_prev, guidance):

@@ -1,0 +1,198 @@
+"""Pipeline-parallelism tests (parallel/pipeline.py) on the fake 8-CPU mesh.
+
+The reference has no pipeline parallelism (SURVEY §2.6); these validate the
+GPipe schedule against the plain sequential `lax.scan` it replaces — forward
+bit-equivalence, gradients through the schedule, and the flux_forward pp
+integration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from flux_generator_tpu.models.flux.model import flux_forward, init_flux, tiny_flux_config
+from flux_generator_tpu.parallel.pipeline import (
+    pipeline_scan,
+    shard_pipeline_params,
+)
+
+
+def _pipe_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("pipe",))
+
+
+def _mlp_stack(key, depth, d):
+    ks = jax.random.split(key, 2)
+    return {
+        "w1": jax.random.normal(ks[0], (depth, d, 2 * d)) * 0.3,
+        "w2": jax.random.normal(ks[1], (depth, 2 * d, d)) * 0.3,
+    }
+
+
+def _mlp_body(x, p, scale):
+    return x + scale * jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+
+def _seq_scan(body, carry, params, extras=()):
+    return jax.lax.scan(lambda c, p: (body(c, p, *extras), None), carry, params)[0]
+
+
+@pytest.mark.parametrize("stages,microbatches", [(2, 2), (4, 2), (4, 4), (8, 4)])
+def test_pipeline_scan_matches_sequential(stages, microbatches):
+    depth, d, b = 8, 4, 4
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 3, d))
+    scale = jnp.full((b, 1, 1), 0.5)
+
+    ref = _seq_scan(_mlp_body, x, params, (scale,))
+    mesh = _pipe_mesh(stages)
+    out = pipeline_scan(
+        _mlp_body, x, params, mesh, axis="pipe",
+        microbatches=microbatches, extras=(scale,),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_scan_single_stage_fallback():
+    depth, d, b = 3, 4, 2
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, d))
+    scale = jnp.ones((b, 1, 1))
+    ref = _seq_scan(_mlp_body, x, params, (scale,))
+    out = pipeline_scan(
+        _mlp_body, x, params, _pipe_mesh(1), axis="pipe", extras=(scale,),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pipeline_scan_per_example_extras_follow_microbatch():
+    """Extras with a batch dim must be routed to the stage processing that
+    microbatch, not broadcast from microbatch 0."""
+    depth, d, b = 4, 4, 4
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, d))
+    # per-example scale: each row different → any mis-routing changes output
+    scale = jnp.arange(1, b + 1, dtype=jnp.float32).reshape(b, 1, 1) / b
+    ref = _seq_scan(_mlp_body, x, params, (scale,))
+    out = pipeline_scan(
+        _mlp_body, x, params, _pipe_mesh(4), microbatches=4, extras=(scale,),
+        axis="pipe",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_scan_is_differentiable():
+    """jax.grad through the GPipe schedule equals grad through plain scan."""
+    depth, d, b = 4, 4, 4
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, d))
+    mesh = _pipe_mesh(4)
+    scale = jnp.ones((b, 1, 1))  # extras leaves are batch-leading by contract
+
+    def loss_seq(p):
+        return jnp.sum(_seq_scan(_mlp_body, x, p, (scale,)) ** 2)
+
+    def loss_pp(p):
+        out = pipeline_scan(
+            _mlp_body, x, p, mesh, axis="pipe", microbatches=2,
+            extras=(scale,),
+        )
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_seq)(params)
+    g_pp = jax.grad(loss_pp)(params)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_pp[k]), np.asarray(g_ref[k]), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_pipeline_stage_sharding_places_layer_chunks():
+    depth, d = 8, 4
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    mesh = _pipe_mesh(4)
+    sharded = shard_pipeline_params(params, mesh, axis="pipe")
+    # leading depth axis split over 4 stages → each device holds 2 layers
+    shard_shapes = {s.data.shape for s in sharded["w1"].addressable_shards}
+    assert shard_shapes == {(2, d, 2 * d)}
+
+
+def test_flux_forward_pipeline_parallel_matches():
+    """flux_forward(pp=...) — both block stacks pipelined — must match the
+    sequential forward, with stage-sharded weights."""
+    cfg = tiny_flux_config(depth=2, depth_single_blocks=4)
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    b, l_img, l_txt = 4, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (b, l_img, cfg.in_channels))
+    img_ids = jnp.zeros((b, l_img, 3), jnp.int32)
+    txt = jax.random.normal(ks[1], (b, l_txt, cfg.context_in_dim))
+    txt_ids = jnp.zeros((b, l_txt, 3), jnp.int32)
+    t = jnp.full((b,), 0.5)
+    y = jax.random.normal(ks[2], (b, cfg.vec_in_dim))
+
+    ref = flux_forward(params, cfg, img, img_ids, txt, txt_ids, t, y)
+
+    mesh = _pipe_mesh(2)
+    params_pp = dict(params)
+    params_pp["double_blocks"] = shard_pipeline_params(
+        params["double_blocks"], mesh, "pipe"
+    )
+    params_pp["single_blocks"] = shard_pipeline_params(
+        params["single_blocks"], mesh, "pipe"
+    )
+    out = flux_forward(
+        params_pp, cfg, img, img_ids, txt, txt_ids, t, y,
+        pp=(mesh, "pipe", 2),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_pad_stack_zero_blocks_are_identity():
+    """Zero-padded flux blocks must be exact identities (gated residuals),
+    so padding a prime-depth stack to a stage multiple preserves outputs."""
+    from flux_generator_tpu.parallel.pipeline import pad_stack
+    from flux_generator_tpu.models.flux.model import _init_double_block
+
+    cfg = tiny_flux_config()
+    stack = jax.vmap(lambda k: _init_double_block(k, cfg, jnp.float32))(
+        jax.random.split(jax.random.PRNGKey(0), 3)
+    )
+    padded, depth = pad_stack(stack, 2)
+    assert depth == 3
+    assert padded["img_mod"]["kernel"].shape[0] == 4
+
+
+def test_flux_pipeline_enable_pipeline_parallel():
+    """FluxPipeline.enable_pipeline_parallel on a prime-ish depth (padding
+    path) matches the sequential pipeline output."""
+    from flux_generator_tpu.pipelines.flux import FluxPipeline, latent_ids, pack_latents
+
+    pipe = FluxPipeline.random_init(
+        "flux-schnell", tiny=True, dtype=jnp.float32,
+        depth=3, depth_single_blocks=3,
+    )
+    b, h, w = 2, 4, 4
+    zc = pipe.ae_cfg.z_channels
+    x_t = pack_latents(jax.random.normal(jax.random.PRNGKey(0), (b, h, w, zc)))
+    x_ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (b, 4, pipe.flow_cfg.context_in_dim))
+    txt_ids = jnp.zeros((b, 4, 3), jnp.int32)
+    vec = jax.random.normal(jax.random.PRNGKey(2), (b, pipe.flow_cfg.vec_in_dim))
+
+    ref = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, 2, 4.0)
+    pipe.enable_pipeline_parallel(
+        Mesh(np.array(jax.devices()[:2]), ("pipe",)), microbatches=2
+    )
+    out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, 2, 4.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_pipeline_scan_rejects_bad_split():
+    params = _mlp_stack(jax.random.PRNGKey(0), 3, 4)  # depth 3, 2 stages
+    x = jnp.ones((2, 2, 4))
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_scan(_mlp_body, x, params, _pipe_mesh(2), axis="pipe",
+                      extras=(jnp.ones((2, 1, 1)),))
