@@ -75,7 +75,7 @@ def bench_sd21(steps: int = 4, size: int = 256, batch: int = 1, repeats: int = 5
         # np.asarray forces a device→host fetch: on the axon tunnel
         # block_until_ready() returns before execution finishes, and the
         # serving path materializes pixels host-side anyway.
-        return np.asarray(pipe.decode(x))
+        return np.asarray(pipe.decode_u8(x))
 
     # warmup / compile
     one_image(jax.random.PRNGKey(3))
@@ -150,7 +150,7 @@ def bench_flux_schnell(steps: int = 4, size: int = 512, batch: int = 1,
 
     def one_image():
         out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
-        return np.asarray(pipe.decode(out, (h, w)))
+        return np.asarray(pipe.decode_u8(out, (h, w)))
 
     one_image()  # compile
     times = []
@@ -253,7 +253,7 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
     def one_image():
         txt, txt_ids, vec = pipe.prepare_conditioning(batch, t5_tokens, clip_tokens)
         out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
-        return np.asarray(pipe.decode(out, (h, w)))
+        return np.asarray(pipe.decode_u8(out, (h, w)))
 
     one_image()  # compile all three programs
     times = []
@@ -281,7 +281,7 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
     denoise_s = timed(lambda: np.asarray(
         pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)))
     out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
-    decode_s = timed(lambda: np.asarray(pipe.decode(out, (h, w))))
+    decode_s = timed(lambda: np.asarray(pipe.decode_u8(out, (h, w))))
 
     from flux_generator_tpu.runtime.profiling import peak_memory_gb
 
@@ -362,7 +362,7 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
     def one(key):
         x = pipe.denoise(x_T, cond, 1, cfg_weight=0.0, seed_key=key,
                          text_time=text_time)
-        return np.asarray(pipe.decode(x))
+        return np.asarray(pipe.decode_u8(x))
 
     one(jax.random.PRNGKey(4))
     times = []

@@ -56,7 +56,7 @@ def main(argv=None):
     ):
         pass
     images = np.concatenate(
-        [np.asarray(pipe.decode(x_t[i : i + 1])) for i in range(args.n_images)], axis=0
+        [np.asarray(pipe.decode_u8(x_t[i : i + 1])) for i in range(args.n_images)], axis=0
     )
     save_image_grid(args.output, images, rows=args.n_rows)
     print(f"Saved to {args.output}")

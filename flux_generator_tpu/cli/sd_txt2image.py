@@ -50,7 +50,7 @@ def main(argv=None):
         pass
     images = []
     for i in range(0, args.n_images, args.decoding_batch_size):
-        images.append(np.asarray(pipe.decode(x_t[i : i + args.decoding_batch_size])))
+        images.append(np.asarray(pipe.decode_u8(x_t[i : i + args.decoding_batch_size])))
     images = np.concatenate(images, axis=0)
     save_image_grid(args.output, images, rows=args.n_rows)
     print(f"Saved {args.n_images} image(s) to {args.output}")

@@ -94,7 +94,7 @@ class FluxPipeline:
         )
         self._denoise = jax.jit(self._denoise_impl)
         self._step = jax.jit(self._step_impl)
-        self._decode = jax.jit(self._decode_impl, static_argnums=(2, 3))
+        self._decode = jax.jit(self._decode_impl, static_argnums=(2, 3, 4))
         self._encode_image = jax.jit(
             lambda p, x: ae_mod.encode(p["ae"], self.ae_cfg, x)
         )
@@ -341,13 +341,24 @@ class FluxPipeline:
             jnp.asarray(guidance, self.dtype),
         )
 
-    def _decode_impl(self, ae_params, x, h: int, w: int):
+    def _decode_impl(self, ae_params, x, h: int, w: int, as_uint8: bool = False):
         img = ae_mod.decode(ae_params, self.ae_cfg, unpack_latents(x, h, w))
-        return jnp.clip(img + 1, 0, 2) * 0.5
+        img = jnp.clip(img + 1, 0, 2) * 0.5
+        if as_uint8:
+            # on-device pixel quantization: the serving path needs uint8 for
+            # PNG encode anyway, and fetching uint8 moves 4x fewer bytes
+            # device→host (the axon tunnel charges ~35 ms/MB)
+            img = (jnp.clip(img, 0, 1).astype(jnp.float32) * 255).astype(jnp.uint8)
+        return img
 
     def decode(self, x, latent_size: Tuple[int, int] = (64, 64)):
         h, w = latent_size
         return self._decode(self.params["ae"], x, h, w)
+
+    def decode_u8(self, x, latent_size: Tuple[int, int] = (64, 64)):
+        """Decode straight to uint8 RGB on device (the serving fast path)."""
+        h, w = latent_size
+        return self._decode(self.params["ae"], x, h, w, True)
 
     def generate_images(
         self,
@@ -357,6 +368,7 @@ class FluxPipeline:
         guidance: float = 4.0,
         latent_size: Tuple[int, int] = (64, 64),
         seed: Optional[int] = None,
+        as_uint8: bool = False,
     ):
         num_steps = num_steps or (2 if self.schnell else 35)
         key = jax.random.PRNGKey(0 if seed is None else seed)
@@ -367,6 +379,8 @@ class FluxPipeline:
         t5_tokens, clip_tokens = self.tokenize(text)
         txt, txt_ids, vec = self.prepare_conditioning(n_images, t5_tokens, clip_tokens)
         x_t = self.denoise_latents(x_t, x_ids, txt, txt_ids, vec, num_steps, guidance)
+        if as_uint8:
+            return self.decode_u8(x_t, latent_size)
         return self.decode(x_t, latent_size)
 
     # -------------------------------------------------- training

@@ -70,6 +70,14 @@ class StableDiffusion:
         self._decode = jax.jit(
             lambda p, z: jnp.clip(sd_vae_decode(p, self.ae_cfg, z) / 2 + 0.5, 0, 1)
         )
+        # uint8 variant: quantize pixels on device — serving PNG-encodes from
+        # uint8 anyway, and the fetch moves 4x fewer bytes
+        self._decode_u8 = jax.jit(
+            lambda p, z: (
+                jnp.clip(sd_vae_decode(p, self.ae_cfg, z) / 2 + 0.5, 0, 1)
+                .astype(jnp.float32) * 255
+            ).astype(jnp.uint8)
+        )
         self._encode = jax.jit(lambda p, x: sd_vae_encode(p, self.ae_cfg, x)[0])
 
     # -------------------------------------------------- constructors
@@ -242,6 +250,10 @@ class StableDiffusion:
 
     def decode(self, x_t):
         return self._decode(self.params["vae"], x_t)
+
+    def decode_u8(self, x_t):
+        """Decode straight to uint8 RGB on device (the serving fast path)."""
+        return self._decode_u8(self.params["vae"], x_t)
 
 
 class StableDiffusionXL(StableDiffusion):

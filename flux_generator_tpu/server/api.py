@@ -256,9 +256,8 @@ class FluxAPI:
                             self.progress.set_preview(
                                 self._latent_preview(x_t, flux_model, latent_size)
                             )
-                    img = np.asarray(pipeline.decode(x_t[0:1], latent_size))
                     it["result"] = _png_data_url(
-                        (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                        _fetch_u8(pipeline, x_t[0:1], latent_size)[0]
                     )
                     self.progress.step()
                 self.last_stats = {"total_s": round(_time.time() - t_start, 3),
@@ -286,9 +285,8 @@ class FluxAPI:
                     )
             images = []
             for i in range(n):
-                img = np.asarray(pipeline.decode(x_t[i : i + 1], latent_size))
                 images.append(_png_data_url(
-                    (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                    _fetch_u8(pipeline, x_t[i : i + 1], latent_size)[0]
                 ))
                 self.progress.step()
             from ..runtime.profiling import peak_memory_gb
@@ -440,16 +438,14 @@ class FluxAPI:
             decoded = []
             for i in range(n_images):
                 if model.startswith("stabilityai/"):
-                    decoded.append(np.asarray(pipeline.decode(x_t[i : i + 1])))
+                    decoded.append(_fetch_u8(pipeline, x_t[i : i + 1]))
                 else:
-                    decoded.append(
-                        np.asarray(pipeline.decode(x_t[i : i + 1], latent_size))
-                    )
+                    decoded.append(_fetch_u8(pipeline, x_t[i : i + 1], latent_size))
                 self.progress.step()
 
             images = []
             for img in decoded:
-                arr = (np.clip(img[0], 0, 1) * 255).astype(np.uint8)
+                arr = img[0]
                 if return_pil:
                     from PIL import Image
 
@@ -523,8 +519,7 @@ class FluxAPI:
                 self.progress.step()
             images = []
             for i in range(request.batch_size):
-                out = np.asarray(pipeline.decode(x_t[i : i + 1]))
-                images.append(_png_data_url((np.clip(out[0], 0, 1) * 255).astype(np.uint8)))
+                images.append(_png_data_url(_fetch_u8(pipeline, x_t[i : i + 1])[0]))
             self.progress.start("", 0)
         return SDAPIResponse(
             images=images,
@@ -599,3 +594,17 @@ def _png_data_url(arr) -> str:
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def _fetch_u8(pipeline, x, latent_size=None):
+    """Decode one latent to a host uint8 RGB array (B, H, W, 3).
+
+    Prefers the pipeline's on-device uint8 decode (pixels quantize on chip;
+    the device→host fetch moves 4x fewer bytes than float). Falls back to
+    float decode + host conversion for pipelines without decode_u8 (mocks,
+    legacy)."""
+    args = (x,) if latent_size is None else (x, latent_size)
+    if hasattr(pipeline, "decode_u8"):
+        return np.asarray(pipeline.decode_u8(*args))
+    img = np.asarray(pipeline.decode(*args))
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)

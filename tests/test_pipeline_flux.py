@@ -89,3 +89,18 @@ def test_training_loss_finite_and_differentiable(pipe):
         lambda a, l: a + float(jnp.sum(l.astype(jnp.float32) ** 2)), grads, 0.0
     )
     assert gnorm > 0
+
+
+def test_decode_u8_matches_host_conversion(pipe):
+    """decode_u8 quantizes pixels on device; must equal the host-side
+    clip*255 conversion of the float decode (the serving PNG path)."""
+    b, h, w = 1, 4, 4
+    x_t = jax.random.normal(
+        jax.random.PRNGKey(8), (b, h * w // 4, pipe.ae_cfg.z_channels * 4), jnp.float32
+    )
+    f = np.asarray(pipe.decode(x_t, (h, w)))
+    u8 = np.asarray(pipe.decode_u8(x_t, (h, w)))
+    assert u8.dtype == np.uint8
+    expect = (np.clip(f.astype(np.float32), 0, 1) * 255).astype(np.uint8)
+    # device vs host float rounding can differ by 1 ULP at bin edges
+    assert np.max(np.abs(u8.astype(int) - expect.astype(int))) <= 1

@@ -93,3 +93,12 @@ def test_sdxl_conditioning_shapes(sdxl):
     cond, pooled = sdxl.get_text_conditioning("hi", 2, 0.0, "")
     assert cond.shape[0] == 2 and cond.shape[-1] == 16  # concat of two 8-dim encoders
     assert pooled.shape == (2, 8)
+
+
+def test_sd_decode_u8_matches_host_conversion(sd):
+    x_t = jax.random.normal(jax.random.PRNGKey(9), (1, 8, 8, 4), jnp.float32)
+    f = np.asarray(sd.decode(x_t))
+    u8 = np.asarray(sd.decode_u8(x_t))
+    assert u8.dtype == np.uint8
+    expect = (np.clip(f.astype(np.float32), 0, 1) * 255).astype(np.uint8)
+    assert np.max(np.abs(u8.astype(int) - expect.astype(int))) <= 1
