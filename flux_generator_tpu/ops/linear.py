@@ -89,13 +89,30 @@ def _dequant(q, scale, dtype):
 
 def dense(p, x):
     if "kernel_q4" in p:
-        # nibble-packed int4, SPLIT layout (ops/quant.pack_int4): run two
-        # matmuls over the input halves. The nibble extraction + dequant
-        # fuse into each matmul's operand read; an interleave-unpack would
-        # force XLA to materialize the full bf16 kernel (9x slower in the
-        # HBM-bound AR loop).
         q4 = p["kernel_q4"]
         scale = p["kernel_scale"]
+        if q4.ndim == 2:
+            # Pallas path: nibble unpack + dequant INSIDE the matmul kernel
+            # (ops/pallas/int4_matmul.py) — beats the XLA elementwise-unpack
+            # formulation on TPU (the int4 extraction never fuses as well as
+            # the hardware int8 convert).
+            from ..runtime.config import use_pallas_int4
+
+            if use_pallas_int4():
+                from .pallas.int4_matmul import int4_matmul, supported
+
+                if supported(x.shape[-1], scale):
+                    y = int4_matmul(x, q4, scale)
+                    if "lora_a" in p:
+                        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+                    if "bias" in p:
+                        y = y + p["bias"].astype(x.dtype)
+                    return y
+        # XLA fallback — nibble-packed int4, SPLIT layout (ops/quant.pack_int4):
+        # run two matmuls over the input halves. The nibble extraction +
+        # dequant fuse into each matmul's operand read; an interleave-unpack
+        # would force XLA to materialize the full bf16 kernel (9x slower in
+        # the HBM-bound AR loop).
         half = q4.shape[-2]
         lo = (q4 & 0xF).astype(jnp.int8) - 8
         hi = (q4 >> 4).astype(jnp.int8) - 8

@@ -47,6 +47,13 @@ def ring_attention_params(seq_len: int):
     return None, None
 
 
+def use_pallas_int4() -> bool:
+    """Packed-int4 matmuls through the Pallas unpack-in-kernel path
+    (ops/pallas/int4_matmul.py) — the nibble extraction never fuses as well
+    in XLA as it does issued straight into the MXU feed. auto = on for TPU."""
+    return _flag("FGT_PALLAS_INT4")
+
+
 def use_pallas_lstm() -> bool:
     # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
     # kernel is covered by interpret-mode tests). Round 1 shipped this
