@@ -43,6 +43,22 @@ def test_group_norm_shape():
     assert y.shape == x.shape
 
 
+def test_group_norm_matches_two_pass_reference():
+    """group_norm uses one-pass E[x²]−E[x]² stats (35% of an SD UNet step
+    went to jnp.var's second reduction pass). Relative var error of the
+    one-pass formula is ~eps_f32·(1 + μ²/σ²): negligible at realistic
+    activation offsets, and even at μ/σ = 100 it stays below bf16
+    resolution (the compute dtype of every consumer)."""
+    for offset, tol in ((0.0, 1e-5), (10.0, 2e-4), (100.0, 2e-2)):
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 32)) + offset
+        y = group_norm(x, groups=8)
+        xf = np.asarray(x, np.float64).reshape(2, -1, 8, 4)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        expect = ((xf - mean) / np.sqrt(var + 1e-5)).reshape(x.shape)
+        np.testing.assert_allclose(np.asarray(y), expect, atol=tol)
+
+
 def test_rope_rotation_preserves_norm():
     pos = jnp.arange(6, dtype=jnp.float32)[None]  # (1, 6)
     cos, sin = rope_cos_sin(pos, 8)
