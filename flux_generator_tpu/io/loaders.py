@@ -168,19 +168,27 @@ def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
         t5_tok_dir / "spiece.model", max_length=spec.t5_max_length
     )
 
-    params = {
-        "flow": cast_tree(flow, dtype),
-        "ae": cast_tree(ae, dtype),
-        "clip": cast_tree(clip, dtype),
-        "t5": cast_tree(t5, dtype),
-    }
     if quantize:
         # int8 weight-only on the big matmuls: Flux-12B + T5-XXL fit one
-        # 16 GB v5e chip (FGT_QUANTIZE=1 in serving)
-        from ..ops.quant import quantize_tree
+        # 16 GB v5e chip (FGT_QUANTIZE=1 in serving). Quantization streams
+        # per-tensor from the host tree BEFORE device transfer — putting the
+        # full bf16 flow on device first (24 GB) could never fit the chip
+        # the quantized model is meant for.
+        from ..ops.quant import quantize_tree_to_device
 
-        params["flow"] = quantize_tree(params["flow"])
-        params["t5"] = quantize_tree(params["t5"])
+        params = {
+            "flow": quantize_tree_to_device(flow, dtype=dtype),
+            "ae": cast_tree(ae, dtype),
+            "clip": cast_tree(clip, dtype),
+            "t5": quantize_tree_to_device(t5, dtype=dtype),
+        }
+    else:
+        params = {
+            "flow": cast_tree(flow, dtype),
+            "ae": cast_tree(ae, dtype),
+            "clip": cast_tree(clip, dtype),
+            "t5": cast_tree(t5, dtype),
+        }
     return FluxPipeline(
         name, params, flow_cfg, ae_cfg, clip_cfg, t5_cfg,
         clip_tokenizer=clip_tok, t5_tokenizer=t5_tok, dtype=dtype,
@@ -402,14 +410,16 @@ def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfl
     )
     codec = EncodecModel(enc_cfg, cast_tree(enc_params, jnp.float32))
 
-    params = cast_tree(params, dtype)
-    t5 = cast_tree(t5, dtype)
     if quantize:
-        # int8 weights ~1.5x the AR step rate (HBM-bound loop, BENCH_RESULTS)
-        from ..ops.quant import quantize_tree
+        # int8 weights ~1.5x the AR step rate (HBM-bound loop, BENCH_RESULTS);
+        # streamed per-tensor from the host tree before device transfer
+        from ..ops.quant import quantize_tree_to_device
 
-        params = quantize_tree(params)
-        t5 = quantize_tree(t5)
+        params = quantize_tree_to_device(params, dtype=dtype)
+        t5 = quantize_tree_to_device(t5, dtype=dtype)
+    else:
+        params = cast_tree(params, dtype)
+        t5 = cast_tree(t5, dtype)
     return MusicGenPipeline(
         cfg, params, t5_cfg, t5, codec, tokenizer=tokenizer, dtype=dtype,
     )

@@ -97,6 +97,54 @@ def quantize_tree(params, predicate=default_predicate, bits: int = 8,
     return walk(params)
 
 
+def quantize_tree_to_device(params, predicate=default_predicate, bits: int = 8,
+                            group_size: int = None, pack: bool = False,
+                            dtype=None, device=None):
+    """Stream a HOST-resident (numpy/mmap-backed) param tree to device with
+    quantization applied BEFORE the transfer, one tensor at a time.
+
+    `quantize_tree` on an already-device tree needs the full-precision tree
+    resident first — for Flux-12B that is 24 GB of HBM before the int8 copy
+    exists, which can never fit the 16 GB chip the quantized model serves
+    on. Here each leaf is quantized on the host CPU backend (same
+    quantize_dense code — bitwise-identical scales) and only the int8/packed
+    buffers ever reach the accelerator; peak device memory = quantized size
+    + one tensor. Non-quantized floating leaves are cast to `dtype` host-side
+    for the same reason."""
+    import numpy as np
+
+    device = device or jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+
+    def put(x):
+        return jax.device_put(x, device)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2 and predicate(node):
+                gs = group_size
+                if gs and node["kernel"].shape[-2] % gs != 0:
+                    gs = None
+                with jax.default_device(cpu):
+                    q = quantize_dense(
+                        {k: jnp.asarray(np.asarray(v)) for k, v in node.items()},
+                        bits, group_size=gs, pack=pack,
+                    )
+                    if dtype is not None and "bias" in q:
+                        q["bias"] = q["bias"].astype(dtype)
+                return {k: put(v) for k, v in q.items()}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        arr = np.asarray(node)
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            with jax.default_device(cpu):
+                return put(jnp.asarray(arr, dtype))
+        return put(arr)
+
+    return walk(params)
+
+
 def quantize_pipeline(pipeline, predicate=default_predicate, bits: int = 8,
                       text_encoder_bits: int = None):
     """Quantize the big matmul weights of a pipeline in place. The reference

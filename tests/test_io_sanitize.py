@@ -253,3 +253,35 @@ def test_musicgen_in_proj_fused():
     assert "layers.0.self_attn.o.kernel" in flat
     assert flat["emb"].shape == (2, 17, h)
     assert flat["linears"].shape == (2, h, 16)
+
+
+def test_quantize_tree_to_device_matches_quantize_tree():
+    """Streaming quantize-before-transfer must produce bitwise the same
+    buffers as the in-memory quantize_tree (loaders use it so the full-
+    precision tree never has to fit on the accelerator)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flux_generator_tpu.ops.linear import init_dense
+    from flux_generator_tpu.ops.quant import quantize_tree, quantize_tree_to_device
+
+    tree = {
+        "big": init_dense(jax.random.PRNGKey(0), 512, 64, dtype=jnp.float32),
+        "small": init_dense(jax.random.PRNGKey(1), 7, 5, dtype=jnp.float32),
+        "norm": {"scale": jnp.ones((512,), jnp.float32)},
+    }
+    host = jax.tree.map(lambda x: np.asarray(x), tree)
+    ref = quantize_tree(tree)
+    out = quantize_tree_to_device(host, dtype=jnp.bfloat16)
+    assert out["big"]["kernel_q"].dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(out["big"]["kernel_q"]), np.asarray(ref["big"]["kernel_q"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["big"]["kernel_scale"]), np.asarray(ref["big"]["kernel_scale"])
+    )
+    # non-eligible dense keeps a full kernel, cast to the compute dtype
+    assert out["small"]["kernel"].dtype == jnp.bfloat16
+    assert out["norm"]["scale"].dtype == jnp.bfloat16
+    # quantized bias follows the compute dtype too
+    assert out["big"]["bias"].dtype == jnp.bfloat16
