@@ -193,6 +193,12 @@ class FluxPipeline:
 
     # -------------------------------------------------- text conditioning
 
+    @property
+    def ae_downsample(self) -> int:
+        """Spatial factor of the autoencoder (8 at full size; tiny test
+        configs use fewer levels)."""
+        return 2 ** (len(self.ae_cfg.ch_mult) - 1)
+
     def tokenize(self, text):
         if self.t5_tokenizer is None or self.clip_tokenizer is None:
             raise RuntimeError(
@@ -327,6 +333,52 @@ class FluxPipeline:
         ts = self.timesteps(num_steps, x_t.shape[1])
         g = jnp.asarray(guidance, self.dtype)
         for i in range(num_steps):
+            x_t = self._step(
+                self.params["flow"], x_t, x_ids, txt, txt_ids, vec,
+                jnp.asarray(ts[i], self.dtype), jnp.asarray(ts[i + 1], self.dtype), g,
+            )
+            yield x_t
+
+    def generate_latents_from_image(
+        self,
+        image,
+        text: str,
+        n_images: int = 1,
+        strength: float = 0.8,
+        num_steps: Optional[int] = None,
+        guidance: float = 4.0,
+        seed: Optional[int] = None,
+    ):
+        """Flux img2img — an addition over the reference, whose img2img is
+        SD-only (stable_diffusion/image2image.py). Encode the image in [-1,1]
+        (B|1, H, W, 3), jump onto the flow-matching schedule at
+        t ≈ strength (x_t = (1−t)·x₀ + t·ε — the rectified-flow analog of
+        SD's add_noise-at-start-step), and denoise the remaining steps.
+        strength 1 → pure noise (txt2img); small → stays near the input.
+        Same conditioning-first generator protocol as generate_latents."""
+        num_steps = num_steps or (2 if self.schnell else 35)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        img = jnp.asarray(image, self.dtype)
+        if img.ndim == 3:
+            img = img[None]
+        x0 = self._encode_image(self.params, img)
+        h, w = x0.shape[1], x0.shape[2]
+        x0 = pack_latents(x0)
+        x0 = jnp.broadcast_to(x0, (n_images, *x0.shape[1:]))
+        x_ids = latent_ids(n_images, h, w)
+
+        ts = self.timesteps(num_steps, x0.shape[1])
+        # first schedule index with t <= strength (≥1 denoise step)
+        start = min(int(round((1 - strength) * num_steps)), num_steps - 1)
+        eps = jax.random.normal(key, x0.shape, self.dtype)
+        x_t = sampler_mod.add_noise(x0, jnp.asarray(ts[start], self.dtype), eps)
+
+        t5_tokens, clip_tokens = self.tokenize(text)
+        txt, txt_ids, vec = self.prepare_conditioning(n_images, t5_tokens, clip_tokens)
+        yield (x_t, x_ids, txt, txt_ids, vec)
+
+        g = jnp.asarray(guidance, self.dtype)
+        for i in range(start, num_steps):
             x_t = self._step(
                 self.params["flow"], x_t, x_ids, txt, txt_ids, vec,
                 jnp.asarray(ts[i], self.dtype), jnp.asarray(ts[i + 1], self.dtype), g,

@@ -486,40 +486,62 @@ class FluxAPI:
     # -------------------------------------------------- img2img
 
     def img2img(self, request) -> SDAPIResponse:
-        """A1111 /sdapi/v1/img2img (SD-family models; an addition over the
-        reference, whose API only exposes txt2img)."""
+        """A1111 /sdapi/v1/img2img — an addition over the reference, whose API
+        only exposes txt2img (and whose img2img CLI is SD-only): serves BOTH
+        the SD family and Flux (FluxPipeline.generate_latents_from_image)."""
         import base64
         import io as _io
 
         import jax.numpy as jnp
         from PIL import Image
 
-        if not request.model.startswith("stabilityai/"):
-            raise ValueError("img2img supports the stabilityai/* models")
+        is_sd = request.model.startswith("stabilityai/")
         with self._admit():
             pipeline = self.init_pipeline(request.model)
             raw = request.init_images[0]
             if raw.startswith("data:"):
                 raw = raw.split(",", 1)[1]
             img = Image.open(_io.BytesIO(base64.b64decode(raw))).convert("RGB")
-            w, h = (request.width // 64) * 64, (request.height // 64) * 64
-            img = img.resize((max(w, 64), max(h, 64)))
+            # SD UNet levels need 64-px alignment; flux packing needs 16
+            snap = 64 if is_sd else 16
+            w = max((request.width // snap) * snap, snap)
+            h = max((request.height // snap) * snap, snap)
+            img = img.resize((w, h))
             arr = jnp.asarray(np.array(img), jnp.float32) / 255 * 2 - 1
 
-            steps = request.steps or (2 if "sdxl-turbo" in request.model else 50)
-            self.progress.start(f"img2img:{request.model}", int(steps * request.denoising_strength))
+            default_steps = (2 if "sdxl-turbo" in request.model else 50) if is_sd \
+                else (2 if "schnell" in request.model else 35)
+            steps = request.steps or default_steps
+            seed = request.seed if request.seed >= 0 else None
+            self.progress.start(
+                f"img2img:{request.model}", max(int(steps * request.denoising_strength), 1)
+            )
             x_t = None
-            for x_t in pipeline.generate_latents_from_image(
-                arr, request.prompt, n_images=request.batch_size,
-                strength=request.denoising_strength, num_steps=steps,
-                cfg_weight=request.cfg_scale,
-                negative_text=request.negative_prompt or "",
-                seed=request.seed if request.seed >= 0 else None,
-            ):
+            if is_sd:
+                gen = pipeline.generate_latents_from_image(
+                    arr, request.prompt, n_images=request.batch_size,
+                    strength=request.denoising_strength, num_steps=steps,
+                    cfg_weight=request.cfg_scale,
+                    negative_text=request.negative_prompt or "",
+                    seed=seed,
+                )
+                latent_size = None
+            else:
+                gen = pipeline.generate_latents_from_image(
+                    arr, request.prompt, n_images=request.batch_size,
+                    strength=request.denoising_strength, num_steps=steps,
+                    guidance=request.cfg_scale, seed=seed,
+                )
+                next(gen)  # flux protocol yields conditioning first
+                ds = getattr(pipeline, "ae_downsample", 8)
+                latent_size = (h // ds, w // ds)
+            for x_t in gen:
                 self.progress.step()
             images = []
             for i in range(request.batch_size):
-                images.append(_png_data_url(_fetch_u8(pipeline, x_t[i : i + 1])[0]))
+                images.append(_png_data_url(
+                    _fetch_u8(pipeline, x_t[i : i + 1], latent_size)[0]
+                ))
             self.progress.start("", 0)
         return SDAPIResponse(
             images=images,

@@ -80,6 +80,8 @@ INDEX_HTML = """<!DOCTYPE html>
       <select id="i2i-model">
         <option value="stabilityai/stable-diffusion-2-1-base">SD 2.1 Base</option>
         <option value="stabilityai/sdxl-turbo">SDXL Turbo</option>
+        <option value="flux-schnell">Flux Schnell (Fast)</option>
+        <option value="flux-dev">Flux Dev (High Quality)</option>
       </select></div>
     <div class="row">
       <div><label>Strength</label><input id="i2i-strength" type="number" value="0.75" step="0.05" min="0" max="1"></div>

@@ -214,3 +214,37 @@ def test_same_seed_same_image(real_server):
             return json.loads(r.read())["images"][0]
 
     assert gen() == gen()
+
+
+def test_real_flux_img2img_over_http(real_server):
+    """Flux img2img over the REST endpoint (the reference's API has no
+    img2img at all; ours serves both families)."""
+    import base64
+    import io
+
+    import numpy as _np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(_np.full((48, 48, 3), 128, _np.uint8)).save(buf, format="PNG")
+    req = urllib.request.Request(
+        real_server + "/sdapi/v1/img2img",
+        json.dumps({
+            "prompt": "a watercolor cat",
+            "model": "flux-schnell",
+            "init_images": [base64.b64encode(buf.getvalue()).decode()],
+            "width": 48,
+            "height": 48,
+            "steps": 2,
+            "denoising_strength": 0.6,
+            "seed": 11,
+        }).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        data = json.loads(r.read())
+    assert r.status == 200
+    img = data["images"][0]
+    assert img.startswith("data:image/png;base64,")
+    out = Image.open(io.BytesIO(base64.b64decode(img.split(",", 1)[1])))
+    assert out.size == (48, 48)

@@ -104,3 +104,47 @@ def test_decode_u8_matches_host_conversion(pipe):
     expect = (np.clip(f.astype(np.float32), 0, 1) * 255).astype(np.uint8)
     # device vs host float rounding can differ by 1 ULP at bin edges
     assert np.max(np.abs(u8.astype(int) - expect.astype(int))) <= 1
+
+
+def test_flux_img2img_generator(pipe):
+    """Flux img2img (addition over the reference's SD-only img2img):
+    conditioning-first protocol, strength controls the denoised step count,
+    and the final latent decodes at the input geometry."""
+
+    class _Tok:
+        def __init__(self, n):
+            self.n = n
+
+        def encode(self, text):
+            return np.ones((1, self.n), np.int32)
+
+    saved = pipe.t5_tokenizer, pipe.clip_tokenizer
+    pipe.t5_tokenizer, pipe.clip_tokenizer = _Tok(4), _Tok(5)
+    try:
+        img = jax.random.uniform(jax.random.PRNGKey(0), (8, 8, 3), jnp.float32) * 2 - 1
+        gen = pipe.generate_latents_from_image(
+            img, "a cat", strength=0.5, num_steps=4, seed=3
+        )
+        cond = next(gen)  # conditioning-first, like generate_latents
+        lats = list(gen)
+        assert len(lats) == 2  # round(0.5 * 4) steps remain
+        assert lats[-1].shape == cond[0].shape
+        out = pipe.decode(lats[-1], (4, 4))
+        assert out.shape == (1, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+        # strength=1 → start at t=1 (pure noise), full schedule runs
+        gen = pipe.generate_latents_from_image(
+            img, "a cat", strength=1.0, num_steps=2, seed=3
+        )
+        next(gen)
+        assert len(list(gen)) == 2
+
+        # tiny strength still takes >= 1 step
+        gen = pipe.generate_latents_from_image(
+            img, "a cat", strength=0.01, num_steps=4, seed=3
+        )
+        next(gen)
+        assert len(list(gen)) == 1
+    finally:
+        pipe.t5_tokenizer, pipe.clip_tokenizer = saved
