@@ -141,6 +141,11 @@ def pipeline_scan(
         in_specs=(params_spec, rep, ex_spec),
         out_specs=jax.tree.map(lambda _: P(), carry_mb),
         check_vma=False,
+        # manual ONLY over the pipe axis: any other mesh axes (e.g. a
+        # "model" TP axis carried by the kernels' NamedShardings) stay
+        # auto — GSPMD partitions the stage body over them, so tensor
+        # parallelism composes INSIDE each pipeline stage
+        axis_names={axis},
     )(stacked_params, carry_mb, extras_mb)
     return jax.tree.map(lambda o: o.reshape(batch, *o.shape[2:]), out)
 
@@ -184,3 +189,27 @@ def shard_pipeline_params(stacked_params, mesh, axis: str = "pipe"):
     return jax.device_put(
         stacked_params, pipeline_stage_sharding(stacked_params, mesh, axis)
     )
+
+
+def pipeline_tp_sharding(stacked_params, mesh, pipe_axis: str = "pipe",
+                         model_axis: str = "model"):
+    """Combined PP × TP placement: the leading depth axis is staged over
+    `pipe_axis` AND each kernel's matmul dims are Megatron col/row-sharded
+    over `model_axis` (parallel/sharding.py rules). pipeline_scan is manual
+    only over the pipe axis, so GSPMD partitions every stage's matmuls over
+    the model axis and inserts the TP all-reduces inside the stage body."""
+    import jax.tree_util as jtu
+
+    from .sharding import _COL_PAT, _ROW_PAT
+
+    def one(path, leaf):
+        pstr = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        parts = [pipe_axis] + [None] * (leaf.ndim - 1)
+        if leaf.ndim >= 3 and "kernel" in pstr:
+            if _ROW_PAT.search(pstr):
+                parts[-2] = model_axis
+            elif _COL_PAT.search(pstr):
+                parts[-1] = model_axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jtu.tree_map_with_path(one, stacked_params)
