@@ -171,15 +171,29 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
 
     hid = x.shape[-1]
 
-    def layer(x, inputs):
-        p, kc, vc, ck, cv = inputs
+    def pick(tree, li):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False), tree
+        )
+
+    # layer loop as fori_loop with the WHOLE (L, B, S, H, Dh) caches as the
+    # carry: dynamic_update_slice on a loop carry lowers to an in-place
+    # buffer write. The previous lax.scan carried the caches as xs/ys, and
+    # ys-stacking materialized a FULL cache copy every step — read+write
+    # traffic that grows with the window (at 1500-step generations the copy
+    # alone was ~1 GB/step and long-form audio dropped under realtime).
+    def layer(li, carry):
+        x, kc_all, vc_all = carry
+        p = pick(params["layers"], li)
         y = layer_norm(x, p["norm1"])
         qkv = dense(p["self_attn"]["qkv"], y)
         q = _heads(qkv[..., :hid], h)
         k_new = _heads(qkv[..., hid : 2 * hid], h)
         v_new = _heads(qkv[..., 2 * hid :], h)
-        kc = jax.lax.dynamic_update_slice(kc, k_new, (0, offset, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v_new, (0, offset, 0, 0))
+        kc_all = jax.lax.dynamic_update_slice(kc_all, k_new[None], (li, 0, offset, 0, 0))
+        vc_all = jax.lax.dynamic_update_slice(vc_all, v_new[None], (li, 0, offset, 0, 0))
+        kc = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
         attn = dot_product_attention(q, kc, vc, mask=mask)
         x = x + dense(p["self_attn"]["o"], attn.reshape(b, 1, -1))
 
@@ -187,19 +201,17 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         from ...ops.linear import materialize_kernel as _mk
 
         q = _heads(y @ _mk(p["cross_attn"]["qkv"], y.dtype)[:, :hid], h)
-        attn = dot_product_attention(q, ck, cv)
+        attn = dot_product_attention(
+            q, pick(cross_k, li), pick(cross_v, li)
+        )
         x = x + dense(p["cross_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm2"])
         x = x + dense(p["linear2"], jax.nn.gelu(dense(p["linear1"], y), approximate=False))
-        return x, (kc, vc)
+        return x, kc_all, vc_all
 
-    import os as _os
-
-    _lu = int(_os.environ.get("FGT_LAYER_UNROLL", "1"))
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], k_cache, v_cache, cross_k, cross_v),
-        unroll=_lu,
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.num_hidden_layers, layer, (x, k_cache, v_cache)
     )
     x = layer_norm(x, params["out_norm"])
     logits = jnp.einsum("btd,kdv->btvk", x, params["linears"].astype(dtype))
