@@ -313,25 +313,42 @@ def t5_decode(params, cfg: T5Config, tokens, memory, cache=None):
         valid = mem_pos <= ctx  # causal + only-written-so-far positions
         mask = valid[None, None]
 
-        def step(carry, layer_in):
-            x_c, li = carry
-            p, kc, vc = layer_in
+        def pick(tree, li):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+                tree,
+            )
+
+        # fori_loop with whole-cache carry: dynamic_update_slice on a loop
+        # carry lowers to an in-place write — a lax.scan over layers with
+        # caches as xs/ys would COPY the full cache every decode step (the
+        # long-form latency bug fixed in models/musicgen/model.py)
+        def step(li, carry):
+            x_c, kc_all, vc_all = carry
+            p = pick(dec["layers"], li)
             y = rms_norm(x_c, p["ln1"], cfg.layer_norm_epsilon)
             q = dense(p["self_attention"]["q"], y).reshape(b, t, h, -1)
             k_new = dense(p["self_attention"]["k"], y).reshape(b, t, h, -1)
             v_new = dense(p["self_attention"]["v"], y).reshape(b, t, h, -1)
-            kc = jax.lax.dynamic_update_slice(kc, k_new, (0, offset, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v_new, (0, offset, 0, 0))
+            kc_all = jax.lax.dynamic_update_slice(
+                kc_all, k_new[None], (li, 0, offset, 0, 0)
+            )
+            vc_all = jax.lax.dynamic_update_slice(
+                vc_all, v_new[None], (li, 0, offset, 0, 0)
+            )
+            kc = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
             attn = dot_product_attention(q, kc, vc, bias=bias, mask=mask, scale=1.0)
             x_c = x_c + dense(p["self_attention"]["o"], attn.reshape(b, t, -1))
             y = rms_norm(x_c, p["ln2"], cfg.layer_norm_epsilon)
             x_c = x_c + _attn(p["cross_attention"], y, memory, cfg)
             y = rms_norm(x_c, p["ln3"], cfg.layer_norm_epsilon)
             x_c = x_c + _dense_act(p["dense"], y, cfg)
-            return (x_c, li + 1), (kc, vc)
+            return x_c, kc_all, vc_all
 
-        (x, _), (new_k, new_v) = jax.lax.scan(
-            step, (x, 0), (dec["layers"], cache["k"], cache["v"])
+        n_dec = dec["layers"]["ln1"]["scale"].shape[0]
+        x, new_k, new_v = jax.lax.fori_loop(
+            0, n_dec, step, (x, cache["k"], cache["v"])
         )
         new_cache = {"k": new_k, "v": new_v, "offset": offset + t}
 
