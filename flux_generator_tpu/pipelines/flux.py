@@ -394,7 +394,14 @@ class FluxPipeline:
         )
 
     def _decode_impl(self, ae_params, x, h: int, w: int, as_uint8: bool = False):
-        img = ae_mod.decode(ae_params, self.ae_cfg, unpack_latents(x, h, w))
+        z = unpack_latents(x, h, w)
+        if max(h, w) > 128:
+            # beyond 1024² the full-image decoder's conv activations (>1 GB
+            # each) OOM next to the 12 GB flow — overlap-tiled decode bounds
+            # the footprint (models/flux/autoencoder.decode_tiled)
+            img = ae_mod.decode_tiled(ae_params, self.ae_cfg, z)
+        else:
+            img = ae_mod.decode(ae_params, self.ae_cfg, z)
         img = jnp.clip(img + 1, 0, 2) * 0.5
         if as_uint8:
             # on-device pixel quantization: the serving path needs uint8 for

@@ -128,3 +128,34 @@ def test_capture_stats_consistent_with_plain_forward():
     assert stats["single"].shape == (cfg.depth_single_blocks, 3)
     out2, stats2 = flux_forward(params, cfg, *args, capture_stats=True)
     np.testing.assert_array_equal(np.asarray(stats["double"]), np.asarray(stats2["double"]))
+
+
+def test_decode_tiled_matches_when_single_tile():
+    """decode_tiled degenerates to the plain decode when the latent fits one
+    tile; large latents produce the right geometry with overlap blending."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flux_generator_tpu.models.flux.autoencoder import (
+        decode, decode_tiled, init_autoencoder, tiny_ae_config,
+    )
+
+    cfg = tiny_ae_config()
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 6, cfg.z_channels))
+    np.testing.assert_allclose(
+        np.asarray(decode_tiled(params, cfg, z, tile=8, overlap=4)),
+        np.asarray(decode(params, cfg, z)),
+        atol=1e-6,
+    )
+
+    big = jax.random.normal(jax.random.PRNGKey(2), (1, 20, 12, cfg.z_channels))
+    out = decode_tiled(params, cfg, big, tile=8, overlap=4)
+    f = 2 ** (len(cfg.ch_mult) - 1)
+    assert out.shape == (1, 20 * f, 12 * f, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # interior values stay within the envelope of a plain decode (blending
+    # is a convex combination of tile decodes)
+    full = np.asarray(decode(params, cfg, big))
+    o = np.asarray(out)
+    assert abs(o.mean() - full.mean()) < 0.15 * (abs(full.mean()) + full.std())
