@@ -210,52 +210,10 @@ def decode_tiled(params, cfg: AutoEncoderConfig, z, tile: int = 96,
 
     The full-image decode holds (B, 8H, 8W, ch) conv activations — at 2048²
     that is >1 GB per tensor and the program OOMs next to the 12 GB int8
-    flow. Tiles bound the activation footprint: ONE `lax.scan` runs the
-    decoder once per tile (single compile, sequential peak memory = one
-    tile), then a fori_loop blends overlaps with a linear ramp whose
-    weight-sum normalization makes borders exact (the standard big-image
-    VAE technique). Jit-safe: call under the pipeline's jitted decode."""
-    b, h, w, _ = z.shape
-    if h <= tile and w <= tile:
-        return decode(params, cfg, z)
-    f = 2 ** (len(cfg.ch_mult) - 1)  # spatial upsample factor
-    stride = tile - overlap
-    ys = sorted({min(y, h - tile) for y in range(0, h, stride)})
-    xs = sorted({min(x, w - tile) for x in range(0, w, stride)})
-    positions = [(y, x) for y in ys for x in xs]
+    flow. ops/tiling.tiled_decode_2d bounds the footprint to one tile."""
+    from ...ops.tiling import tiled_decode_2d
 
-    tiles = jnp.stack(
-        [z[:, y : y + tile, x : x + tile] for y, x in positions]
-    )  # (T, b, tile, tile, c)
-
-    def dec(_, zt):
-        return None, decode(params, cfg, zt)
-
-    _, imgs = jax.lax.scan(dec, None, tiles)  # (T, b, tile*f, tile*f, out_ch)
-
-    # linear up-ramp / flat middle / down-ramp; edge truncation is handled
-    # by the weight-sum division (single-contributor pixels normalize to 1)
-    ramp = jnp.minimum(jnp.arange(tile * f, dtype=jnp.float32) + 1.0,
-                       float(overlap * f)) / (overlap * f)
-    ramp = jnp.minimum(ramp, ramp[::-1])
-    wt = (ramp[:, None] * ramp[None, :])[..., None]  # (tile*f, tile*f, 1)
-
-    pos = jnp.asarray(positions, jnp.int32) * f  # (T, 2) image-space offsets
-    out0 = jnp.zeros((b, h * f, w * f, imgs.shape[-1]), jnp.float32)
-    wsum0 = jnp.zeros((h * f, w * f, 1), jnp.float32)
-
-    def blend(i, acc):
-        out, wsum = acc
-        y0, x0 = pos[i, 0], pos[i, 1]
-        cur = jax.lax.dynamic_slice(
-            out, (0, y0, x0, 0), (b, tile * f, tile * f, out.shape[-1])
-        )
-        out = jax.lax.dynamic_update_slice(
-            out, cur + imgs[i].astype(jnp.float32) * wt, (0, y0, x0, 0)
-        )
-        curw = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (tile * f, tile * f, 1))
-        wsum = jax.lax.dynamic_update_slice(wsum, curw + wt, (y0, x0, 0))
-        return out, wsum
-
-    out, wsum = jax.lax.fori_loop(0, len(positions), blend, (out0, wsum0))
-    return (out / jnp.maximum(wsum, 1e-6)).astype(z.dtype)
+    return tiled_decode_2d(
+        lambda zt: decode(params, cfg, zt), z, tile, overlap,
+        factor=2 ** (len(cfg.ch_mult) - 1),
+    )

@@ -67,16 +67,26 @@ class StableDiffusion:
         self._text_encode = jax.jit(self._text_encode_impl)
         self._denoise = jax.jit(self._denoise_impl, static_argnames=("cfg_on",))
         self._step = jax.jit(self._step_impl, static_argnames=("cfg_on",))
-        self._decode = jax.jit(
-            lambda p, z: jnp.clip(sd_vae_decode(p, self.ae_cfg, z) / 2 + 0.5, 0, 1)
-        )
+        def _vae_decode(p, z):
+            # beyond 1024² the full-image decoder's conv activations OOM —
+            # overlap-tiled decode bounds the footprint (ops/tiling)
+            if max(z.shape[1], z.shape[2]) > 128:
+                from ..ops.tiling import tiled_decode_2d
+
+                factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
+                img = tiled_decode_2d(
+                    lambda zt: sd_vae_decode(p, self.ae_cfg, zt),
+                    z, tile=96, overlap=16, factor=factor,
+                )
+            else:
+                img = sd_vae_decode(p, self.ae_cfg, z)
+            return jnp.clip(img / 2 + 0.5, 0, 1)
+
+        self._decode = jax.jit(_vae_decode)
         # uint8 variant: quantize pixels on device — serving PNG-encodes from
         # uint8 anyway, and the fetch moves 4x fewer bytes
         self._decode_u8 = jax.jit(
-            lambda p, z: (
-                jnp.clip(sd_vae_decode(p, self.ae_cfg, z) / 2 + 0.5, 0, 1)
-                .astype(jnp.float32) * 255
-            ).astype(jnp.uint8)
+            lambda p, z: (_vae_decode(p, z).astype(jnp.float32) * 255).astype(jnp.uint8)
         )
         self._encode = jax.jit(lambda p, x: sd_vae_encode(p, self.ae_cfg, x)[0])
 

@@ -40,10 +40,17 @@ def get_app(pipeline_factory=None, sd_factory=None):
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: model-switch and first-request
-    compiles are paid once per machine."""
+    compiles are paid once per machine. Shares bench.py's repo-local dir
+    (FGT_COMPILE_CACHE overrides) so serving benefits from any previously
+    compiled program and survives /tmp cleanup."""
+    import os
+    import pathlib
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fgt-jax-cache")
+    default = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    cache = os.environ.get("FGT_COMPILE_CACHE", str(default))
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
