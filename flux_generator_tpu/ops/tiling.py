@@ -18,46 +18,54 @@ import jax.numpy as jnp
 
 
 def tiled_decode_2d(decode_fn: Callable, z, tile: int, overlap: int,
-                    factor: int):
-    """decode_fn: (B, t, t, C) latent tile → (B, t·factor, t·factor, out_ch).
-    z: (B, H, W, C) latent. Returns the blended (B, H·factor, W·factor, out)
-    image in z.dtype. Degenerates to one plain call when z fits one tile."""
+                    factor):
+    """decode_fn: (B, t, t, C) tile → (B, t·factor, t·factor, out_ch).
+    z: (B, H, W, C). Returns the blended (B, H·factor, W·factor, out) result
+    in z.dtype. `factor` may be fractional (e.g. 1/8 for a VAE *encoder*
+    mapping image tiles to latent tiles) as long as tile·factor,
+    overlap·factor, and every tile offset·factor are integral. Degenerates
+    to one plain call when z fits one tile."""
     b, h, w, _ = z.shape
     if h <= tile and w <= tile:
         return decode_fn(z)
     stride = tile - overlap
     ys = sorted({min(y, h - tile) for y in range(0, h, stride)})
     xs = sorted({min(x, w - tile) for x in range(0, w, stride)})
+
+    def scaled(v):
+        s = v * factor
+        assert abs(s - round(s)) < 1e-9, (v, factor)
+        return int(round(s))
+
+    tf, of = scaled(tile), scaled(overlap)
     positions = [(y, x) for y in ys for x in xs]
+    out_hw = (scaled(h), scaled(w))
 
     tiles = jnp.stack([z[:, y : y + tile, x : x + tile] for y, x in positions])
 
     def dec(_, zt):
         return None, decode_fn(zt)
 
-    _, imgs = jax.lax.scan(dec, None, tiles)  # (T, b, t·f, t·f, out)
+    _, imgs = jax.lax.scan(dec, None, tiles)  # (T, b, tf, tf, out)
     out_ch = imgs.shape[-1]
-    f = factor
 
-    ramp = jnp.minimum(jnp.arange(tile * f, dtype=jnp.float32) + 1.0,
-                       float(overlap * f)) / (overlap * f)
+    ramp = jnp.minimum(jnp.arange(tf, dtype=jnp.float32) + 1.0,
+                       float(of)) / of
     ramp = jnp.minimum(ramp, ramp[::-1])  # up-ramp, flat middle, down-ramp
     wt = (ramp[:, None] * ramp[None, :])[..., None]
 
-    pos = jnp.asarray(positions, jnp.int32) * f
-    out0 = jnp.zeros((b, h * f, w * f, out_ch), jnp.float32)
-    wsum0 = jnp.zeros((h * f, w * f, 1), jnp.float32)
+    pos = jnp.asarray([(scaled(y), scaled(x)) for y, x in positions], jnp.int32)
+    out0 = jnp.zeros((b, *out_hw, out_ch), jnp.float32)
+    wsum0 = jnp.zeros((*out_hw, 1), jnp.float32)
 
     def blend(i, acc):
         out, wsum = acc
         y0, x0 = pos[i, 0], pos[i, 1]
-        cur = jax.lax.dynamic_slice(
-            out, (0, y0, x0, 0), (b, tile * f, tile * f, out_ch)
-        )
+        cur = jax.lax.dynamic_slice(out, (0, y0, x0, 0), (b, tf, tf, out_ch))
         out = jax.lax.dynamic_update_slice(
             out, cur + imgs[i].astype(jnp.float32) * wt, (0, y0, x0, 0)
         )
-        curw = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (tile * f, tile * f, 1))
+        curw = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (tf, tf, 1))
         wsum = jax.lax.dynamic_update_slice(wsum, curw + wt, (y0, x0, 0))
         return out, wsum
 

@@ -95,9 +95,19 @@ class FluxPipeline:
         self._denoise = jax.jit(self._denoise_impl)
         self._step = jax.jit(self._step_impl)
         self._decode = jax.jit(self._decode_impl, static_argnums=(2, 3, 4))
-        self._encode_image = jax.jit(
-            lambda p, x: ae_mod.encode(p["ae"], self.ae_cfg, x)
-        )
+        def _encode_impl(p, x):
+            # large img2img inputs: tiled encode (same memory bound as the
+            # tiled decode; latent means blend across overlaps)
+            if max(x.shape[1], x.shape[2]) > 1024:
+                from ..ops.tiling import tiled_decode_2d
+
+                return tiled_decode_2d(
+                    lambda xt: ae_mod.encode(p["ae"], self.ae_cfg, xt),
+                    x, tile=768, overlap=128, factor=1 / self.ae_downsample,
+                )
+            return ae_mod.encode(p["ae"], self.ae_cfg, x)
+
+        self._encode_image = jax.jit(_encode_impl)
 
     # -------------------------------------------------- constructors
 

@@ -88,7 +88,18 @@ class StableDiffusion:
         self._decode_u8 = jax.jit(
             lambda p, z: (_vae_decode(p, z).astype(jnp.float32) * 255).astype(jnp.uint8)
         )
-        self._encode = jax.jit(lambda p, x: sd_vae_encode(p, self.ae_cfg, x)[0])
+        def _vae_encode(p, x):
+            if max(x.shape[1], x.shape[2]) > 1024:
+                from ..ops.tiling import tiled_decode_2d
+
+                factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
+                return tiled_decode_2d(
+                    lambda xt: sd_vae_encode(p, self.ae_cfg, xt)[0],
+                    x, tile=768, overlap=128, factor=1 / factor,
+                )
+            return sd_vae_encode(p, self.ae_cfg, x)[0]
+
+        self._encode = jax.jit(_vae_encode)
 
     # -------------------------------------------------- constructors
 

@@ -159,3 +159,37 @@ def test_decode_tiled_matches_when_single_tile():
     full = np.asarray(decode(params, cfg, big))
     o = np.asarray(out)
     assert abs(o.mean() - full.mean()) < 0.15 * (abs(full.mean()) + full.std())
+
+
+def test_tiled_encode_fractional_factor():
+    """ops/tiling with factor < 1 (VAE encoder direction): image tiles map to
+    latent tiles; geometry and the single-tile degenerate case hold."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flux_generator_tpu.models.flux.autoencoder import (
+        encode, init_autoencoder, tiny_ae_config,
+    )
+    from flux_generator_tpu.ops.tiling import tiled_decode_2d
+
+    cfg = tiny_ae_config()
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg, jnp.float32)
+    f = 2 ** (len(cfg.ch_mult) - 1)
+
+    small = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    np.testing.assert_allclose(
+        np.asarray(tiled_decode_2d(
+            lambda xt: encode(params, cfg, xt), small, tile=8, overlap=4,
+            factor=1 / f,
+        )),
+        np.asarray(encode(params, cfg, small)),
+        atol=1e-6,
+    )
+
+    big = jax.random.normal(jax.random.PRNGKey(2), (1, 20, 12, 3))
+    out = tiled_decode_2d(
+        lambda xt: encode(params, cfg, xt), big, tile=8, overlap=4,
+        factor=1 / f,
+    )
+    assert out.shape == (1, 20 // f, 12 // f, cfg.z_channels)
+    assert np.isfinite(np.asarray(out)).all()
