@@ -283,8 +283,25 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
     out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
     decode_s = timed(lambda: np.asarray(pipe.decode_u8(out, (h, w))))
 
+    # ONE-program path: conditioning + denoise + uint8 decode fused into a
+    # single executable (no inter-program dispatch through the tunnel)
+    def one_fused():
+        return np.asarray(pipe._e2e(
+            pipe.params, (t5_tokens, clip_tokens), jax.random.PRNGKey(0),
+            jnp.asarray(4.0, dtype), steps, h, w,
+        ))
+
+    one_fused()  # compile
+    fused_times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        one_fused()
+        fused_times.append(time.perf_counter() - t0)
+    fused_p50 = float(np.median(fused_times))
+
     from flux_generator_tpu.runtime.profiling import peak_memory_gb
 
+    p50 = min(p50, fused_p50)  # headline = best serving path
     ips = batch / p50
     return {
         "metric": (
@@ -296,6 +313,7 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
         # north-star anchor: < 1 s per 512^2 4-step image end-to-end
         "vs_baseline": round(ips / 1.0, 4),
         "p50_latency_s": round(p50, 4),
+        "p50_fused_one_program_s": round(fused_p50, 4),
         "phase_conditioning_s": round(cond_s, 4),
         "phase_denoise_s": round(denoise_s, 4),
         "phase_decode_s": round(decode_s, 4),

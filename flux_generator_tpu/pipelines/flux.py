@@ -94,6 +94,9 @@ class FluxPipeline:
         )
         self._denoise = jax.jit(self._denoise_impl)
         self._step = jax.jit(self._step_impl)
+        # whole-request program: conditioning + denoise + uint8 decode in ONE
+        # executable — no inter-program dispatch (the serving one-shot path)
+        self._e2e = jax.jit(self._e2e_impl, static_argnums=(4, 5, 6))
         self._decode = jax.jit(self._decode_impl, static_argnums=(2, 3, 4))
         def _encode_impl(p, x):
             # large img2img inputs: tiled encode (same memory bound as the
@@ -428,6 +431,46 @@ class FluxPipeline:
         """Decode straight to uint8 RGB on device (the serving fast path)."""
         h, w = latent_size
         return self._decode(self.params["ae"], x, h, w, True)
+
+    def _e2e_impl(self, params, tokens, key, guidance, num_steps: int,
+                  h: int, w: int):
+        """One-program request: T5 + CLIP encode → prior → denoise scan →
+        uint8 decode. tokens: (t5 (B, Lt), clip (B, Lc))."""
+        t5_tokens, clip_tokens = tokens
+        n = t5_tokens.shape[0]
+        txt = t5_encode(params["t5"], self.t5_cfg, t5_tokens).astype(self.dtype)
+        txt_ids = jnp.zeros((n, txt.shape[1], 3), jnp.int32)
+        vec = clip_text_forward(params["clip"], self.clip_cfg, clip_tokens)[
+            "pooled_output"
+        ].astype(self.dtype)
+        x = sampler_mod.sample_prior(key, (n, h, w, self.ae_cfg.z_channels), self.dtype)
+        x_t = pack_latents(x)
+        x_ids = latent_ids(n, h, w)
+        ts = jnp.asarray(self.timesteps(num_steps, x_t.shape[1]), self.dtype)
+        x_t = self._denoise_impl(
+            params["flow"], x_t, x_ids, txt, txt_ids, vec, ts, guidance
+        )
+        return self._decode_impl(params["ae"], x_t, h, w, True)
+
+    def generate_images_fused(
+        self,
+        text: str,
+        num_steps: Optional[int] = None,
+        guidance: float = 4.0,
+        latent_size: Tuple[int, int] = (64, 64),
+        seed: Optional[int] = None,
+    ):
+        """The one-dispatch serving path: everything from token arrays to
+        uint8 pixels runs as a single XLA program (no host round-trips
+        between conditioning / denoise / decode)."""
+        num_steps = num_steps or (2 if self.schnell else 35)
+        t5_tokens, clip_tokens = self.tokenize(text)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        h, w = latent_size
+        return self._e2e(
+            self.params, (jnp.asarray(t5_tokens), jnp.asarray(clip_tokens)),
+            key, jnp.asarray(guidance, self.dtype), num_steps, h, w,
+        )
 
     def generate_images(
         self,

@@ -238,6 +238,26 @@ class FluxAPI:
             pipeline = self.init_pipeline(flux_model)
             latent_size = to_latent_size((height, width))
             n = len(items)
+            if (
+                n == 1 and steps <= 4
+                and hasattr(pipeline, "generate_images_fused")
+            ):
+                # single short request: ONE-program fast path (conditioning +
+                # denoise + uint8 decode in one executable — no per-phase
+                # dispatch; previews are off at <=4 steps anyway)
+                it = items[0]
+                self.progress.start(f"txt2img:{flux_model}", 1)
+                img = np.asarray(pipeline.generate_images_fused(
+                    it["prompt"], num_steps=steps, guidance=guidance,
+                    latent_size=latent_size, seed=it["seed"],
+                ))
+                it["result"] = _png_data_url(img[0])
+                self.progress.step()
+                self.last_stats = {
+                    "total_s": round(_time.time() - t_start, 3),
+                    "fused_one_program": True,
+                }
+                return
             if not hasattr(pipeline, "generate_latents_batch"):
                 # legacy/mock pipelines: serve the group one by one
                 self.progress.start(f"txt2img:{flux_model}", n * (steps + 1))

@@ -148,3 +148,30 @@ def test_flux_img2img_generator(pipe):
         assert len(list(gen)) == 1
     finally:
         pipe.t5_tokenizer, pipe.clip_tokenizer = saved
+
+
+def test_generate_images_fused_matches_unfused(pipe):
+    """The one-program serving path must produce the same pixels as the
+    three-program path (same keys, same math; ±1 uint8 for fusion-order
+    float differences)."""
+
+    class _Tok:
+        def __init__(self, n):
+            self.n = n
+
+        def encode(self, text):
+            return np.ones((1, self.n), np.int32)
+
+    saved = pipe.t5_tokenizer, pipe.clip_tokenizer
+    pipe.t5_tokenizer, pipe.clip_tokenizer = _Tok(4), _Tok(5)
+    try:
+        a = np.asarray(pipe.generate_images(
+            "a cat", num_steps=2, latent_size=(4, 4), seed=9, as_uint8=True
+        ))
+        b = np.asarray(pipe.generate_images_fused(
+            "a cat", num_steps=2, latent_size=(4, 4), seed=9
+        ))
+        assert b.dtype == np.uint8 and b.shape == a.shape
+        assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+    finally:
+        pipe.t5_tokenizer, pipe.clip_tokenizer = saved
