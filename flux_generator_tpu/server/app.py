@@ -74,7 +74,18 @@ def main(argv=None):
         "--warmup", metavar="MODEL",
         help="load MODEL and compile the default 512x512 path before serving",
     )
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="int8-activation MXU matmuls for quantized models (~1.4x faster "
+             "flux denoise; quality study in tests/test_quant_quality.py). "
+             "Must be set at startup — the flag bakes into compiled programs.",
+    )
     args = parser.parse_args(argv)
+
+    if args.w8a8:
+        from ..ops.linear import set_w8a8
+
+        set_w8a8(True)
 
     host = "0.0.0.0" if args.listen_all else "127.0.0.1"
     port = args.port
