@@ -25,10 +25,20 @@ import numpy as np
 from .schemas import SDAPIRequest, SDAPIResponse
 
 
+MAX_SIDE = 2048  # beyond this a single request would trigger a multi-minute
+# XLA compile and a multi-GB activation footprint; reject loudly (HTTP 422)
+# instead of stalling the serving process
+
+
 def to_latent_size(size: Tuple[int, int]) -> Tuple[int, int]:
     """16-px snap then /8 (flux_app.py:333-345). Also the compile-cache
     bucketing knob: fewer distinct sizes → fewer XLA executables."""
     h, w = size
+    if max(h, w) > MAX_SIDE:
+        raise ValueError(
+            f"requested size {w}x{h} exceeds the serving cap of "
+            f"{MAX_SIDE}px per side"
+        )
     h = ((h + 15) // 16) * 16
     w = ((w + 15) // 16) * 16
     if (h, w) != size:
@@ -516,6 +526,11 @@ class FluxAPI:
         from PIL import Image
 
         is_sd = request.model.startswith("stabilityai/")
+        if max(request.width, request.height) > MAX_SIDE:
+            raise ValueError(
+                f"requested size {request.width}x{request.height} exceeds "
+                f"the serving cap of {MAX_SIDE}px per side"
+            )
         with self._admit():
             pipeline = self.init_pipeline(request.model)
             raw = request.init_images[0]

@@ -240,3 +240,17 @@ def test_concurrent_requests_serialized(server):
 def test_port_probing():
     port = find_available_port("127.0.0.1", 49500)
     assert check_port_available("127.0.0.1", port)
+
+
+def test_oversize_request_rejected(server):
+    import urllib.error
+
+    try:
+        _post(
+            server + "/sdapi/v1/txt2img",
+            {"prompt": "x", "model": "flux-schnell", "width": 8192, "height": 8192},
+        )
+        raise AssertionError("oversize request was not rejected")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+        assert "exceeds" in json.loads(e.read())["detail"]
