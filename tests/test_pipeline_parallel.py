@@ -233,3 +233,33 @@ def test_pipeline_scan_rejects_bad_split():
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_scan(_mlp_body, x, params, _pipe_mesh(2), axis="pipe",
                       extras=(jnp.ones((2, 1, 1)),))
+
+
+def test_pipeline_parallel_composes_with_remat():
+    """flux_forward(pp=..., remat=True): gradient checkpointing inside
+    pipeline stages — gradients must match the sequential remat forward."""
+    cfg = tiny_flux_config(depth=2, depth_single_blocks=2)
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    b = 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (b, 4, cfg.in_channels))
+    img_ids = jnp.zeros((b, 4, 3), jnp.int32)
+    txt = jax.random.normal(ks[1], (b, 2, cfg.context_in_dim))
+    txt_ids = jnp.zeros((b, 2, 3), jnp.int32)
+    t = jnp.full((b,), 0.5)
+    y = jax.random.normal(ks[2], (b, cfg.vec_in_dim))
+    mesh = _pipe_mesh(2)
+
+    def loss(p, pp):
+        out = flux_forward(
+            p, cfg, img, img_ids, txt, txt_ids, t, y, remat=True, pp=pp
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, None))(params)
+    g_pp = jax.grad(lambda p: loss(p, (mesh, "pipe", 2)))(params)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_pp = jax.tree_util.tree_leaves(g_pp)
+    for a, r in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4, rtol=1e-3)
