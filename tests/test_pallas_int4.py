@@ -55,3 +55,19 @@ def test_supported_predicate():
     assert supported(K, jnp.ones((64,)))
     assert not supported(1000, jnp.ones((64,)))        # packed rows unaligned
     assert not supported(K, jnp.ones((K // 1024, 64)))  # group 1024 > BK
+
+
+@pytest.mark.parametrize("K,N,M,gs", [
+    (1024, 384, 1, 64),     # N needs padding; M=1
+    (2560, 512, 17, None),  # per-channel; odd M
+    (1536, 640, 33, 128),   # bk=256 path (Kp=768)
+    (2048, 128, 8, 256),
+])
+def test_int4_matmul_shape_sweep(K, N, M, gs):
+    """Shape fuzz across block-padding and bk-selection paths."""
+    q = _quantized(jax.random.PRNGKey(K + N), K, N, gs)
+    x = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.float32)
+    ref = dense(q, x)
+    out = int4_matmul(x, q["kernel_q4"], q["kernel_scale"], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
