@@ -73,7 +73,14 @@ def pipeline_scan(
     if depth % stages:
         raise ValueError(f"depth {depth} not divisible by {stages} pipeline stages")
     batch = _leading_dim(carry)
-    m = microbatches or min(batch, stages)
+    if microbatches is None:
+        # largest divisor of the batch that fits the stage count (a prime
+        # batch of 3 on 2 stages degrades to 1 microbatch rather than erroring)
+        m = min(batch, stages)
+        while batch % m:
+            m -= 1
+    else:
+        m = microbatches
     if batch % m:
         raise ValueError(f"batch {batch} not divisible by {m} microbatches")
 

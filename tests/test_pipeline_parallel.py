@@ -263,3 +263,16 @@ def test_pipeline_parallel_composes_with_remat():
     for a, r in zip(flat_pp, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_pipeline_scan_default_microbatches_odd_batch():
+    """Default microbatch count degrades to a batch divisor (batch 3 on 2
+    stages runs with 1 microbatch instead of erroring)."""
+    depth, d, b = 4, 4, 3
+    params = _mlp_stack(jax.random.PRNGKey(0), depth, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, d))
+    scale = jnp.ones((b, 1, 1))
+    ref = _seq_scan(_mlp_body, x, params, (scale,))
+    out = pipeline_scan(_mlp_body, x, params, _pipe_mesh(2), axis="pipe",
+                        extras=(scale,))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
