@@ -48,7 +48,9 @@ def _rope_in_kernel(x, cos_e, sin_e):
     return x * cos_e + swapped * sin_e
 
 
-BLK_K = 1024
+import os as _os_blk
+
+BLK_K = int(_os_blk.environ.get("FGT_FLASH_BLK_K", "1024"))
 # one-shot (single logits tile) up to this length: per grid step the kernel
 # holds the (BLK_Q, L) f32 logits tile + full per-head K/V + 4 pair-expanded
 # RoPE tables ≈ L·(BLK_Q·4 + 2·d·2 + 4·d·4) bytes ≈ 22 MB at L=6144 — well
