@@ -463,6 +463,21 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         if l_pad != l:
             cos_e = jnp.pad(cos_e, ((0, 0), (0, l_pad - l), (0, 0)))
             sin_e = jnp.pad(sin_e, ((0, 0), (0, l_pad - l), (0, 0)))
+        if l_pad > ONE_SHOT_MAX:
+            # streamed path: pre-rotate q/k ONCE in HBM. In-kernel rotation
+            # would re-load the k tables and re-rotate the SAME K block for
+            # every q block — n_q-fold redundant work at long lengths (16×
+            # at 16k tokens). The one-shot path keeps the fused rotation
+            # (each head reads K once there, and fusion avoids the HBM
+            # round-trip for rotated copies). Autodiff composes: the custom
+            # VJP sees rotated inputs, jnp pre-rotation supplies the chain.
+            ce = jnp.repeat(cos_e, h, axis=0)
+            se = jnp.repeat(sin_e, h, axis=0)
+            qh = _apply_rope_expanded(qh, ce, se).astype(dtype)
+            kh = _apply_rope_expanded(kh, ce, se).astype(dtype)
+            use_rope = False
+            cos_e = jnp.zeros((b, 1, d), dtype)
+            sin_e = jnp.zeros((b, 1, d), dtype)
     else:
         cos_e = jnp.zeros((b, 1, d), dtype)
         sin_e = jnp.zeros((b, 1, d), dtype)
