@@ -301,12 +301,15 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
 
     from flux_generator_tpu.runtime.profiling import peak_memory_gb
 
-    p50 = min(p50, fused_p50)  # headline = best serving path
+    # headline = best serving path, and the metric string names which one
+    # won (the per-phase numbers below describe the three-program path only)
+    winner = "fused one-program" if fused_p50 < p50 else "three-program"
+    p50 = min(p50, fused_p50)
     ips = batch / p50
     return {
         "metric": (
             f"images/sec/chip (Flux-schnell END-TO-END {size}x{size}, {steps} steps: "
-            "T5-XXL int4 + CLIP-L + 12B flow int8 + VAE, one chip)"
+            f"T5-XXL int4 + CLIP-L + 12B flow int8 + VAE, one chip, {winner} path)"
         ),
         "value": round(ips, 4),
         "unit": "images/sec/chip",

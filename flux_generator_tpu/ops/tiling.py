@@ -28,31 +28,40 @@ def tiled_decode_2d(decode_fn: Callable, z, tile: int, overlap: int,
     b, h, w, _ = z.shape
     if h <= tile and w <= tile:
         return decode_fn(z)
-    stride = tile - overlap
-    ys = sorted({min(y, h - tile) for y in range(0, h, stride)})
-    xs = sorted({min(x, w - tile) for x in range(0, w, stride)})
+    # Per-axis effective tile: a non-square input may be smaller than `tile`
+    # on one axis (e.g. 64×192 latent with tile=96) — clamping per axis keeps
+    # every offset non-negative and every slice full-sized.
+    tile_h, tile_w = min(tile, h), min(tile, w)
+    stride_h = max(tile_h - overlap, 1)
+    stride_w = max(tile_w - overlap, 1)
+    ys = sorted({max(0, min(y, h - tile_h)) for y in range(0, h, stride_h)})
+    xs = sorted({max(0, min(x, w - tile_w)) for x in range(0, w, stride_w)})
 
     def scaled(v):
         s = v * factor
         assert abs(s - round(s)) < 1e-9, (v, factor)
         return int(round(s))
 
-    tf, of = scaled(tile), scaled(overlap)
+    tf_h, tf_w, of = scaled(tile_h), scaled(tile_w), scaled(overlap)
     positions = [(y, x) for y in ys for x in xs]
     out_hw = (scaled(h), scaled(w))
 
-    tiles = jnp.stack([z[:, y : y + tile, x : x + tile] for y, x in positions])
+    tiles = jnp.stack(
+        [z[:, y : y + tile_h, x : x + tile_w] for y, x in positions]
+    )
 
     def dec(_, zt):
         return None, decode_fn(zt)
 
-    _, imgs = jax.lax.scan(dec, None, tiles)  # (T, b, tf, tf, out)
+    _, imgs = jax.lax.scan(dec, None, tiles)  # (T, b, tf_h, tf_w, out)
     out_ch = imgs.shape[-1]
 
-    ramp = jnp.minimum(jnp.arange(tf, dtype=jnp.float32) + 1.0,
-                       float(of)) / of
-    ramp = jnp.minimum(ramp, ramp[::-1])  # up-ramp, flat middle, down-ramp
-    wt = (ramp[:, None] * ramp[None, :])[..., None]
+    def axis_ramp(n):
+        r = jnp.minimum(jnp.arange(n, dtype=jnp.float32) + 1.0,
+                        float(of)) / of
+        return jnp.minimum(r, r[::-1])  # up-ramp, flat middle, down-ramp
+
+    wt = (axis_ramp(tf_h)[:, None] * axis_ramp(tf_w)[None, :])[..., None]
 
     pos = jnp.asarray([(scaled(y), scaled(x)) for y, x in positions], jnp.int32)
     out0 = jnp.zeros((b, *out_hw, out_ch), jnp.float32)
@@ -61,11 +70,11 @@ def tiled_decode_2d(decode_fn: Callable, z, tile: int, overlap: int,
     def blend(i, acc):
         out, wsum = acc
         y0, x0 = pos[i, 0], pos[i, 1]
-        cur = jax.lax.dynamic_slice(out, (0, y0, x0, 0), (b, tf, tf, out_ch))
+        cur = jax.lax.dynamic_slice(out, (0, y0, x0, 0), (b, tf_h, tf_w, out_ch))
         out = jax.lax.dynamic_update_slice(
             out, cur + imgs[i].astype(jnp.float32) * wt, (0, y0, x0, 0)
         )
-        curw = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (tf, tf, 1))
+        curw = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (tf_h, tf_w, 1))
         wsum = jax.lax.dynamic_update_slice(wsum, curw + wt, (y0, x0, 0))
         return out, wsum
 

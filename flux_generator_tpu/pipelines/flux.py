@@ -186,8 +186,10 @@ class FluxPipeline:
         self.pp = (mesh, axis, microbatches)
         # re-wrap the jitted entries: the pp flag is baked into traces, so a
         # fresh jit cache guarantees no stale non-pp executable is reused
+        # (_e2e too — the fused one-program path also traces through _flow)
         self._denoise = jax.jit(self._denoise_impl)
         self._step = jax.jit(self._step_impl)
+        self._e2e = jax.jit(self._e2e_impl, static_argnums=(4, 5, 6))
         return self
 
     def enable_ring_attention(self, mesh=None, axis: str = "model",

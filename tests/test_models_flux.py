@@ -161,6 +161,38 @@ def test_decode_tiled_matches_when_single_tile():
     assert abs(o.mean() - full.mean()) < 0.15 * (abs(full.mean()) + full.std())
 
 
+def test_tiled_decode_nonsquare_one_side_below_tile():
+    """Non-square input where one spatial dim is smaller than the tile
+    (e.g. a 512x1536 txt2img request → 6x18 tiny-latent analogue): tiling
+    must clamp per axis instead of producing negative offsets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flux_generator_tpu.models.flux.autoencoder import (
+        decode, decode_tiled, init_autoencoder, tiny_ae_config,
+    )
+
+    cfg = tiny_ae_config()
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg, jnp.float32)
+    f = 2 ** (len(cfg.ch_mult) - 1)
+    # h=6 < tile=8 < w=18 — the shape class that used to crash at trace time
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 18, cfg.z_channels))
+    out = decode_tiled(params, cfg, z, tile=8, overlap=4)
+    assert out.shape == (1, 6 * f, 18 * f, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # tiles see zero-padding at their own borders, so values differ from a
+    # plain decode near seams — but must stay within its statistical envelope
+    full = np.asarray(decode(params, cfg, z))
+    o = np.asarray(out)
+    assert abs(o.mean() - full.mean()) < 0.15 * (abs(full.mean()) + full.std())
+
+    # transposed orientation (w < tile < h) must also work
+    zt = jax.random.normal(jax.random.PRNGKey(4), (1, 18, 6, cfg.z_channels))
+    out_t = decode_tiled(params, cfg, zt, tile=8, overlap=4)
+    assert out_t.shape == (1, 18 * f, 6 * f, 3)
+    assert np.isfinite(np.asarray(out_t)).all()
+
+
 def test_tiled_encode_fractional_factor():
     """ops/tiling with factor < 1 (VAE encoder direction): image tiles map to
     latent tiles; geometry and the single-tile degenerate case hold."""
