@@ -109,7 +109,8 @@ def cast_tree(tree, dtype):
 
 
 def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
-                       local_dir: Optional[str] = None, quantize: bool = False):
+                       local_dir: Optional[str] = None, quantize: bool = False,
+                       configs=None):
     from ..models.clip.text import init_clip_text
     from ..models.flux.autoencoder import init_autoencoder
     from ..models.flux.model import init_flux
@@ -119,7 +120,10 @@ def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
     from ..tokenizers.sentencepiece_unigram import SentencePieceUnigramTokenizer
 
     spec = registry.FLUX_MODELS[name]
-    flow_cfg, ae_cfg, clip_cfg, t5_cfg = registry.flux_configs(name)
+    # `configs` override: same load machinery (file discovery, sharded index,
+    # sanitize, conform, cast/quantize, tokenizers) against non-registry
+    # hparams — the synthetic-checkpoint dress rehearsal uses tiny ones
+    flow_cfg, ae_cfg, clip_cfg, t5_cfg = configs or registry.flux_configs(name)
     key = jax.random.PRNGKey(0)
 
     # flow
@@ -383,9 +387,14 @@ def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfl
         params, jax.eval_shape(lambda: init_musicgen(key, cfg)), "musicgen"
     )
 
-    # T5 text encoder from the HF repo named in the config
+    # T5 text encoder from the HF repo named in the config (a local cache may
+    # carry it as a text_encoder/ subdir — real multi-repo layouts land there
+    # via validate_real.py's expected layout)
     t5_repo = config["text_encoder"]["_name_or_path"]
-    t5_path = hf_snapshot(t5_repo, ["*.json", "*.safetensors", "*.model"])
+    if local_dir and (path / "text_encoder").exists():
+        t5_path = path / "text_encoder"
+    else:
+        t5_path = hf_snapshot(t5_repo, ["*.json", "*.safetensors", "*.model"])
     with open(t5_path / "config.json") as f:
         t5_cfg = T5Config.from_dict(json.load(f))
     t5_flat = sanitize.sanitize_t5(load_safetensors(t5_path / "model.safetensors"))
@@ -397,7 +406,10 @@ def load_musicgen_pipeline(repo: str = "facebook/musicgen-medium", dtype=jnp.bfl
 
     # EnCodec from the mlx-community float32 conversion (reference musicgen.py:220-224)
     enc_name = config["audio_encoder"]["_name_or_path"].split("/")[-1].replace("_", "-")
-    enc_path = hf_snapshot(f"mlx-community/{enc_name}-float32", ["*.json", "*.safetensors"])
+    if local_dir and (path / "encodec").exists():
+        enc_path = path / "encodec"
+    else:
+        enc_path = hf_snapshot(f"mlx-community/{enc_name}-float32", ["*.json", "*.safetensors"])
     with open(enc_path / "config.json") as f:
         enc_cfg = EncodecConfig.from_dict(json.load(f))
     e_spec, d_spec = encoder_spec(enc_cfg), decoder_spec(enc_cfg)

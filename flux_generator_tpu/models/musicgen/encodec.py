@@ -66,8 +66,16 @@ class EncodecConfig:
         return math.ceil(self.sampling_rate / self.hop_length)
 
     @property
+    def codebook_nbits(self) -> int:
+        return math.ceil(math.log2(self.codebook_size))
+
+    @property
     def num_quantizers(self) -> int:
-        return int(1000 * self.target_bandwidths[-1] // (self.frame_rate * 10))
+        # bits follow the actual codebook size (HF EncodecConfig semantics);
+        # for the real 32 kHz model (2048 codes, 50 Hz, 2.2 kbps) this gives
+        # the same 4 quantizers as audiocraft
+        return int(1000 * self.target_bandwidths[-1]
+                   // (self.frame_rate * self.codebook_nbits))
 
     @property
     def chunk_length(self) -> Optional[int]:
@@ -96,8 +104,9 @@ def tiny_encodec_config(**overrides) -> EncodecConfig:
         hidden_size=8,
         codebook_size=16,
         codebook_dim=8,
-        # frame_rate = ceil(800/8) = 100 → num_quantizers = 1000·2//1000 = 2
-        target_bandwidths=(2.0,),
+        # frame_rate = ceil(800/8) = 100, 4-bit codebooks → 0.4 kbps per
+        # quantizer → 0.8 kbps = 2 quantizers
+        target_bandwidths=(0.8,),
         sampling_rate=800,
     )
     base.update(overrides)

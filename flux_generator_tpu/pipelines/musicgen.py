@@ -58,11 +58,12 @@ class MusicGenPipeline:
             raise NotImplementedError("full-size random init: use from_pretrained")
         cfg = mg.tiny_musicgen_config()
         t5_cfg = tiny_t5_config(d_model=cfg.text_d_model)
-        # tiny codec frame_rate is 100 → bandwidth K gives K quantizers,
-        # matching the decoder's num_codebooks
+        # size the bandwidth so the codec builds exactly num_codebooks
+        # quantizers (per-quantizer rate = frame_rate · log2(codebook) bps)
+        enc_cfg = tiny_encodec_config(codebook_size=cfg.codebook_size)
+        bw = cfg.num_codebooks * enc_cfg.frame_rate * enc_cfg.codebook_nbits / 1000
         enc_cfg = tiny_encodec_config(
-            codebook_size=cfg.codebook_size,
-            target_bandwidths=(float(cfg.num_codebooks),),
+            codebook_size=cfg.codebook_size, target_bandwidths=(bw,),
         )
         ks = jax.random.split(key, 3)
         return cls(
