@@ -51,22 +51,26 @@ def flux_checksums(tiny: bool, real: bool) -> dict:
                                         dtype=jnp.float32 if tiny else jnp.bfloat16)
     cfg = pipe.flow_cfg
     b, h, w = 1, 8, 8
-    key = jax.random.PRNGKey(0)
-    img = pack_latents(
-        jax.random.normal(key, (b, h, w, cfg.in_channels // 4), pipe.dtype)
+    # inputs from numpy's PCG64 — bit-reproducible on ANY platform, so the
+    # reference-side recorder (scripts/record_reference_fingerprints.py,
+    # MLX on a Mac) feeds the model the identical arrays
+    rng = np.random.default_rng(0)
+    img = pack_latents(jnp.asarray(
+        rng.standard_normal((b, h, w, cfg.in_channels // 4)), pipe.dtype
+    ))
+    txt = jnp.asarray(
+        rng.standard_normal((b, 16, cfg.context_in_dim)), pipe.dtype
     )
-    txt = jax.random.normal(
-        jax.random.fold_in(key, 1), (b, 16, cfg.context_in_dim), pipe.dtype
-    )
+    vec = jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), pipe.dtype)
     out, stats = flux_forward(
         pipe.params["flow"], cfg, img, latent_ids(b, h, w), txt,
         jnp.zeros((b, 16, 3), jnp.int32), jnp.full((b,), 0.5, pipe.dtype),
-        jax.random.normal(jax.random.fold_in(key, 2), (b, cfg.vec_in_dim), pipe.dtype),
+        vec,
         guidance=jnp.full((b,), 4.0, pipe.dtype) if cfg.guidance_embed else None,
         capture_stats=True,
     )
     return {
-        "family": "flux", "input": "PRNGKey(0), 8x8 latent, 16 txt tokens",
+        "family": "flux", "input": "np.default_rng(0), 8x8 latent, 16 txt tokens",
         "double_blocks_img_txt": _js(stats["double"]),
         "single_blocks": _js(stats["single"]),
         "final": _js(stats["final"]),
@@ -168,6 +172,11 @@ def main(argv=None):
                     help="load real checkpoints via from_pretrained")
     ap.add_argument("--out", default="checksums")
     args = ap.parse_args(argv)
+
+    if args.tiny:
+        # tiny mode is the CPU self-test; don't pay tunnel compiles for it
+        # (the axon plugin ignores JAX_PLATFORMS — set it programmatically)
+        jax.config.update("jax_platforms", "cpu")
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
