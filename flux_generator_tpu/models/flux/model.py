@@ -37,8 +37,9 @@ def _rope_attention(q, k, v, cos, sin, use_pallas=None):
     """RoPE + SDPA: ring attention for long sequences when a mesh is set
     (sequence parallel, >2048² generation), else the Pallas fused kernel on
     TPU, else the XLA einsum. Lane-aligned head dims only — tiny test
-    configs fall back to XLA. use_pallas=False forces the XLA path — the
-    Pallas kernel has no backward rule, so training uses XLA attention."""
+    configs fall back to XLA. The Pallas kernel is differentiable (custom
+    VJP, ops/pallas/flash_attention.py) so training uses it too; pass
+    use_pallas=False to force the XLA einsum path explicitly."""
     from ...runtime.config import ring_attention_params
 
     mesh, axis = ring_attention_params(q.shape[1])

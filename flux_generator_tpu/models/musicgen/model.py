@@ -283,16 +283,16 @@ def generate(
         seq = jax.lax.dynamic_update_slice(seq, tok_next[:, None], (0, offset + 1, 0))
         return (seq, kc, vc), None
 
-    import os
+    from ...runtime.config import musicgen_ar_unroll, musicgen_cache_chunk
 
-    unroll = int(os.environ.get("FGT_AR_UNROLL", "1"))
+    unroll = musicgen_ar_unroll()
     # chunked-cache attention: self-attention reads grow with the cache, so
     # a 2500-step generation re-reading the full padded cache every step is
     # ~2x the necessary traffic. Run the loop in chunks; chunk c attends
     # over a STATIC cache window of the first (c+1)*chunk positions (the
     # mask inside decode_step handles exactness), then writes the window
     # back. One executable: the python loop unrolls n_chunks inner scans.
-    chunk = int(os.environ.get("FGT_CACHE_CHUNK", "256"))
+    chunk = musicgen_cache_chunk()
     n_chunks = max(1, -(-max_steps // chunk))
     for c in range(n_chunks):
         start, stop = c * chunk, min(max_steps, (c + 1) * chunk)

@@ -48,18 +48,14 @@ def _rope_in_kernel(x, cos_e, sin_e):
     return x * cos_e + swapped * sin_e
 
 
-import os as _os_blk
-
-BLK_K = int(_os_blk.environ.get("FGT_FLASH_BLK_K", "1024"))
-# one-shot (single logits tile) up to this length: per grid step the kernel
-# holds the (BLK_Q, L) f32 logits tile + full per-head K/V + 4 pair-expanded
-# RoPE tables ≈ L·(BLK_Q·4 + 2·d·2 + 4·d·4) bytes ≈ 22 MB at L=6144 — well
-# under VMEM, and skipping the running-softmax streaming loop is 17% faster
-# for the whole 1024² flux denoise (2.63 → 2.17 s measured). Round 1 set
-# 2048 out of caution; beyond 6144 the blocked path streams K/V.
-import os as _os
-
-ONE_SHOT_MAX = int(_os.environ.get("FGT_ONE_SHOT_MAX", "6144"))
+# The K block size (FGT_FLASH_BLK_K) and the one-shot-path threshold
+# (FGT_ONE_SHOT_MAX) are read at CALL time via runtime.config (per-call
+# overridable with set_flash_attention — no import-time freezing). One-shot:
+# per grid step the kernel holds the (BLK_Q, L) f32 logits tile + full
+# per-head K/V + 4 pair-expanded RoPE tables ≈ 22 MB at L=6144 — well under
+# VMEM, and skipping the running-softmax streaming loop is 17% faster for
+# the whole 1024² flux denoise (2.63 → 2.17 s measured).
+from ...runtime.config import flash_blk_k, flash_one_shot_max
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -94,7 +90,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
 
 def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                   o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, l_actual: int, use_rope: bool, n_kb: int):
+                  *, scale: float, l_actual: int, use_rope: bool, n_kb: int,
+                  blk_k: int):
     """True blocked flash attention: grid (bh, q_blocks, k_blocks) with K/V
     STREAMED one (BLK_K, D) block per grid step — VMEM holds one q block,
     one k/v block, and the running (m, l, acc) state in scratch. Round-1's
@@ -122,7 +119,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     s = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    kidx = kb * BLK_K + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    kidx = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kidx < l_actual, s, -jnp.inf)
 
     m = m_scr[:]
@@ -156,7 +153,7 @@ def _apply_rope_expanded(x, cos_e, sin_e):
 
 
 def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
-              use_rope, interpret):
+              use_rope, interpret, blk_k, one_shot_max):
     """Pallas forward over head-flattened padded arrays → (out, lse)."""
     n_q = l_pad // BLK_Q
     blk_tab = BLK_Q if use_rope else 1
@@ -170,7 +167,7 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
     o_spec = pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, *r: (bh, qi, 0),
                           memory_space=pltpu.VMEM)
 
-    if l_pad <= ONE_SHOT_MAX:
+    if l_pad <= one_shot_max:
         kernel = functools.partial(
             _attn_kernel, scale=scale, l_actual=l, use_rope=use_rope
         )
@@ -200,13 +197,13 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
             interpret=interpret,
         )(qh, kh, vh, cos_e, sin_e, cos_e, sin_e)
     else:
-        # streamed flash path: K/V (and their RoPE rows) arrive one BLK_K
+        # streamed flash path: K/V (and their RoPE rows) arrive one blk_k
         # block per innermost grid step; running softmax state in scratch
-        n_kb = l_pad // BLK_K
-        blk_ktab = BLK_K if use_rope else 1
+        n_kb = l_pad // blk_k
+        blk_ktab = blk_k if use_rope else 1
         kernel = functools.partial(
             _flash_kernel, scale=scale, l_actual=l, use_rope=use_rope,
-            n_kb=n_kb,
+            n_kb=n_kb, blk_k=blk_k,
         )
         out, lse = pl.pallas_call(
             kernel,
@@ -214,9 +211,9 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
             in_specs=[
                 pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, kb: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
+                pl.BlockSpec((1, blk_k, d), lambda bh, qi, kb: (bh, kb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLK_K, d), lambda bh, qi, kb: (bh, kb, 0),
+                pl.BlockSpec((1, blk_k, d), lambda bh, qi, kb: (bh, kb, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk_tab, d),
                              lambda bh, qi, kb: (bh // h, qi if blk_tab > 1 else 0, 0),
@@ -334,10 +331,11 @@ def _bwd_dkv_kernel(qr_ref, kr_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 
 def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
-              interpret):
+              interpret, blk_k_cfg, one_shot_max):
     """dq/dk/dv (w.r.t. the ROTATED q/k) via the two blocked kernels."""
     n_q = l_pad // BLK_Q
-    blk_k = BLK_K if l_pad % BLK_K == 0 and l_pad > ONE_SHOT_MAX else BLK_Q
+    blk_k = (blk_k_cfg if l_pad % blk_k_cfg == 0 and l_pad > one_shot_max
+             else BLK_Q)
     n_kb = l_pad // blk_k
     dtype = qr.dtype
 
@@ -384,25 +382,28 @@ def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def _flash_core(scale, l, l_pad, b, h, d, use_rope, interpret,
-                qh, kh, vh, cos_e, sin_e):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _flash_core(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
+                one_shot_max, qh, kh, vh, cos_e, sin_e):
     out, _ = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                        l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
-                       interpret=interpret)
+                       interpret=interpret, blk_k=blk_k,
+                       one_shot_max=one_shot_max)
     return out
 
 
-def _flash_core_fwd(scale, l, l_pad, b, h, d, use_rope, interpret,
-                    qh, kh, vh, cos_e, sin_e):
+def _flash_core_fwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
+                    one_shot_max, qh, kh, vh, cos_e, sin_e):
     out, lse = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                          l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
-                         interpret=interpret)
+                         interpret=interpret, blk_k=blk_k,
+                         one_shot_max=one_shot_max)
     return out, (qh, kh, vh, cos_e, sin_e, out, lse)
 
 
-def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret,
-                    res, do):
+def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
+                    one_shot_max, res, do):
     qh, kh, vh, cos_e, sin_e, out, lse = res
 
     def per_head(x):
@@ -418,7 +419,8 @@ def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret,
     dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                    axis=-1, keepdims=True)
     dq_r, dk_r, dv = _bwd_core(qr, kr, vh, do, lse, dvec, scale=scale, l=l,
-                               l_pad=l_pad, b=b, h=h, d=d, interpret=interpret)
+                               l_pad=l_pad, b=b, h=h, d=d, interpret=interpret,
+                               blk_k_cfg=blk_k, one_shot_max=one_shot_max)
     if use_rope:
         # rotation is orthogonal: pull gradients back with the inverse (−θ)
         dq = _apply_rope_expanded(dq_r, ce, -se)
@@ -432,21 +434,31 @@ def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret,
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
     """q, k, v: (B, L, H, D); cos/sin: optional (B, L, D/2) RoPE tables
     applied to q AND k inside the kernel. Returns (B, L, H, D).
     Differentiable: custom VJP runs the blocked flash backward kernels
     (dQ / dKV passes over the same tiles), so training can use the kernel
-    at sequence lengths where XLA attention would materialize L² logits."""
+    at sequence lengths where XLA attention would materialize L² logits.
+    The K block size / one-shot threshold are read from runtime.config at
+    each call (set_flash_attention / FGT_FLASH_BLK_K / FGT_ONE_SHOT_MAX)."""
+    return _flash_attention_jit(q, k, v, cos, sin, scale=scale,
+                                interpret=interpret, blk_k=flash_blk_k(),
+                                one_shot_max=flash_one_shot_max())
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "blk_k",
+                                             "one_shot_max"))
+def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
+                         one_shot_max):
     b, l, h, d = q.shape
     if scale is None:
         scale = d**-0.5
     use_rope = cos is not None
 
     l_pad = _round_up(l, BLK_Q)
-    if l_pad > ONE_SHOT_MAX:  # blocked-K path needs whole K blocks
-        l_pad = _round_up(l, BLK_K)
+    if l_pad > one_shot_max:  # blocked-K path needs whole K blocks
+        l_pad = _round_up(l, blk_k)
     dtype = q.dtype
 
     def to_heads(x):
@@ -463,7 +475,7 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         if l_pad != l:
             cos_e = jnp.pad(cos_e, ((0, 0), (0, l_pad - l), (0, 0)))
             sin_e = jnp.pad(sin_e, ((0, 0), (0, l_pad - l), (0, 0)))
-        if l_pad > ONE_SHOT_MAX:
+        if l_pad > one_shot_max:
             # streamed path: pre-rotate q/k ONCE in HBM. In-kernel rotation
             # would re-load the k tables and re-rotate the SAME K block for
             # every q block — n_q-fold redundant work at long lengths (16×
@@ -483,5 +495,5 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         sin_e = jnp.zeros((b, 1, d), dtype)
 
     out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope,
-                      interpret, qh, kh, vh, cos_e, sin_e)
+                      interpret, blk_k, one_shot_max, qh, kh, vh, cos_e, sin_e)
     return out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)
