@@ -195,7 +195,7 @@ def flux_denoise_flops(cfg, l_img: int, l_txt: int) -> float:
 
 
 def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
-                   repeats: int = 5):
+                   repeats: int = 5, mesh: str = None):
     """FULL user path on one chip, everything the serving request does on
     device: T5-XXL (4.7B, int4 g=128) encode 256 tokens → CLIP-L (bf16)
     pooled → Flux-12B (int8 weight-only) 4-step denoise → VAE decode →
@@ -242,6 +242,24 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
         "flux-schnell", {"flow": flow, "ae": ae, "clip": clip, "t5": t5},
         cfg, ae_cfg, clip_cfg, t5_cfg, dtype=dtype,
     )
+
+    n_chips = 1
+    if mesh:
+        # --mesh DxM: the exact multi-chip serving invocation — tensor-
+        # parallel flow/T5 over "model", batch over "data". Validated on a
+        # virtual CPU mesh by dryrun_multichip(_dryrun_tp_serving); runs
+        # unchanged on a real v5e-8 (data=1, model=8 → `--mesh 1x8`).
+        from flux_generator_tpu.parallel.mesh import create_mesh
+
+        d, m = (int(x) for x in mesh.lower().split("x"))
+        n_chips = d * m
+        if n_chips > len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {mesh} needs {n_chips} devices, "
+                f"have {len(jax.devices())}"
+            )
+        pipe.shard(create_mesh(data=d, model=m))
+        batch = max(batch, d)  # at least one image per data shard
 
     h = w = size // 8
     key = jax.random.PRNGKey(0)
@@ -305,11 +323,12 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
     # won (the per-phase numbers below describe the three-program path only)
     winner = "fused one-program" if fused_p50 < p50 else "three-program"
     p50 = min(p50, fused_p50)
-    ips = batch / p50
+    ips = batch / p50 / n_chips
+    chips = f"mesh {mesh}" if mesh else "one chip"
     return {
         "metric": (
             f"images/sec/chip (Flux-schnell END-TO-END {size}x{size}, {steps} steps: "
-            f"T5-XXL int4 + CLIP-L + 12B flow int8 + VAE, one chip, {winner} path)"
+            f"T5-XXL int4 + CLIP-L + 12B flow int8 + VAE, {chips}, {winner} path)"
         ),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
@@ -527,13 +546,17 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--size", type=int)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--mesh", default=None, metavar="DxM",
+                    help="multi-chip serving mesh for the flux-schnell "
+                         "config, e.g. 1x8 = tensor-parallel over 8 chips "
+                         "(data axis x model axis); needs DxM real devices")
     args = ap.parse_args()
 
     def run(config):
         if config == "flux-schnell":
             # headline: the FULL user path incl. text conditioning
             return bench_flux_e2e(steps=args.steps, size=args.size or 512,
-                                  batch=args.batch)
+                                  batch=args.batch, mesh=args.mesh)
         if config == "flux-denoise":
             return bench_flux_schnell(steps=args.steps, size=args.size or 512,
                                       batch=args.batch)
