@@ -173,15 +173,23 @@ def load_flux_pipeline(name: str = "flux-schnell", dtype=jnp.bfloat16,
     )
 
     if quantize:
-        # int8 weight-only on the big matmuls: Flux-12B + T5-XXL fit one
-        # 16 GB v5e chip (FGT_QUANTIZE=1 in serving). Quantization streams
-        # per-tensor from the host tree BEFORE device transfer — putting the
-        # full bf16 flow on device first (24 GB) could never fit the chip
-        # the quantized model is meant for.
+        # weight-only quantization on the big matmuls: int8 (quantize=True/
+        # "int8") fits Flux-12B + T5-XXL on one 16 GB v5e; "int4" (group-128
+        # nibble-packed flow) is the memory planner's co-residency tier —
+        # flux + SD(XL) int8 together (server/memory.py). Quantization
+        # streams per-tensor from the host tree BEFORE device transfer —
+        # putting the full bf16 flow on device first (24 GB) could never
+        # fit the chip the quantized model is meant for.
         from ..ops.quant import quantize_tree_to_device
 
+        if quantize == "int4":
+            flow_q = quantize_tree_to_device(
+                flow, bits=4, group_size=128, pack=True, dtype=dtype
+            )
+        else:
+            flow_q = quantize_tree_to_device(flow, dtype=dtype)
         params = {
-            "flow": quantize_tree_to_device(flow, dtype=dtype),
+            "flow": flow_q,
             "ae": cast_tree(ae, dtype),
             "clip": cast_tree(clip, dtype),
             "t5": quantize_tree_to_device(t5, dtype=dtype),
@@ -209,8 +217,20 @@ def _sd_files(model: str, local_dir: Optional[str]):
     return lambda rel: Path(hf_download(model, rel))
 
 
+def _sd_quant_predicate(p) -> bool:
+    """SD int8 policy: dense kernels only ((in, out) or scan-stacked
+    (depth, in, out)) with MXU-friendly input dims — the analog of the
+    reference's nn.quantize(unet), which also only quantizes Linear layers
+    (stable_diffusion/txt2image.py:36-56); 4-D conv kernels stay bf16
+    because conv2d has no dequant path (and convs are bandwidth-cheap
+    relative to the attention/ff matmuls)."""
+    k = p["kernel"]
+    return k.ndim <= 3 and k.shape[-2] % 512 == 0
+
+
 def load_sd_pipeline(model: str = "stabilityai/stable-diffusion-2-1-base",
-                     cls=None, dtype=jnp.bfloat16, local_dir: Optional[str] = None):
+                     cls=None, dtype=jnp.bfloat16, local_dir: Optional[str] = None,
+                     quantize: bool = False):
     from ..models.clip.text import CLIPTextConfig, init_clip_text
     from ..models.sd.config import AutoencoderConfig, DiffusionConfig, UNetConfig
     from ..models.sd.unet import init_unet
@@ -305,10 +325,22 @@ def load_sd_pipeline(model: str = "stabilityai/stable-diffusion-2-1-base",
         ), cfg
 
     clip, clip_cfg = load_text_encoder("text_encoder/config.json", "text_encoder/model.safetensors")
+    if quantize:
+        # serving memory-planner policy (server/memory.py): int8 weight-only
+        # on the UNet/CLIP dense layers so SD(XL) co-resides with flux int8
+        from ..ops.quant import quantize_tree_to_device
+
+        def q(tree):
+            return quantize_tree_to_device(
+                tree, predicate=_sd_quant_predicate, dtype=dtype
+            )
+    else:
+        def q(tree):
+            return cast_tree(tree, dtype)
     params = {
-        "unet": cast_tree(unet, dtype),
+        "unet": q(unet),
         "vae": cast_tree(vae, dtype),
-        "clip": cast_tree(clip, dtype),
+        "clip": q(clip),
     }
     clip_cfgs = [clip_cfg]
     tokenizers = [

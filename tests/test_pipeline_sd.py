@@ -102,3 +102,48 @@ def test_sd_decode_u8_matches_host_conversion(sd):
     assert u8.dtype == np.uint8
     expect = (np.clip(f.astype(np.float32), 0, 1) * 255).astype(np.uint8)
     assert np.max(np.abs(u8.astype(int) - expect.astype(int))) <= 1
+
+
+def test_sd_batch_matches_singles(sd):
+    """generate_latents_batch (the serving coalescer's entry) must give each
+    prompt/seed pair the same result it gets alone (Euler is deterministic;
+    prompts with equal token counts so CLIP padding lengths agree)."""
+    texts = ["a cat", "a dog"]
+    seeds = [3, 9]
+    batch = None
+    for batch in sd.generate_latents_batch(texts, seeds, num_steps=2,
+                                           cfg_weight=7.5,
+                                           negative_text="blurry",
+                                           latent_size=(8, 8)):
+        pass
+    for i, (t, s) in enumerate(zip(texts, seeds)):
+        single = None
+        for single in sd.generate_latents(t, num_steps=2, cfg_weight=7.5,
+                                          negative_text="blurry",
+                                          latent_size=(8, 8), seed=s):
+            pass
+        # batched matmuls tile differently than batch-2 ones in f32, and CFG
+        # (×7.5) amplifies the round-off; scale-relative bound (latents are
+        # O(σ_max)≈14, measured drift ≈ 9e-5 absolute ≈ 7e-6 relative)
+        scale = float(jnp.max(jnp.abs(single)))
+        err = float(jnp.max(jnp.abs(batch[i] - single[0]))) / scale
+        assert err < 1e-4, f"batched item {i} diverged from single run: {err}"
+
+
+def test_sdxl_batch_runs(sdxl):
+    """SDXL batched path: dual-encoder conditioning + text_time rows follow
+    the CFG double-batch layout."""
+    out = None
+    for out in sdxl.generate_latents_batch(["a cat", "a dog"], [1, 2],
+                                           num_steps=2, cfg_weight=7.5,
+                                           negative_text="bad",
+                                           latent_size=(8, 8)):
+        pass
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # and without CFG (turbo default)
+    for out in sdxl.generate_latents_batch(["x", "y"], [1, 2], num_steps=2,
+                                           cfg_weight=0.0,
+                                           latent_size=(8, 8)):
+        pass
+    assert out.shape == (2, 8, 8, 4)
