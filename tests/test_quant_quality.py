@@ -143,3 +143,183 @@ def test_tiny_flux_golden_delta_int8():
     got = np.asarray(flux_forward(qparams, cfg, img, img_ids, txt, txt_ids, t, y))
     err = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
     assert err < 0.02, f"tiny-flux int8 output delta {err:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# Full-scale error budget + acceptance framework (VERDICT r2 #4).
+#
+# The W8A8 switch-on criterion (also written in BENCH_RESULTS.md):
+#   ship FGT_W8A8=1 by default iff, at FULL model width,
+#     (a) per-block output rel err  <= PER_BLOCK_BUDGET[mode], and
+#     (b) the depth-propagated end-to-end latent estimate
+#         sqrt(n_blocks) * per_block  <= E2E_LATENT_BUDGET, and
+#     (c) a latent perturbation of E2E_LATENT_BUDGET leaves decoded images
+#         above SSIM 0.90 (the weights-free surrogate for the BASELINE
+#         LPIPS <= 1e-2 bar; re-run with real LPIPS via validate_real.py
+#         the moment weights land).
+# sqrt-propagation is the right model because quant noise is independent
+# across blocks and enters through gated residuals (errors add in
+# quadrature along the skip stream, verified by the depth towers above).
+
+PER_BLOCK_BUDGET = {"int8": 0.010, "w8a8": 0.030, "int4g128": 0.045}
+E2E_LATENT_BUDGET = 0.12
+
+
+def _full_width_double_block(key):
+    from flux_generator_tpu.models.flux.model import (
+        FluxConfig, _init_double_block,
+    )
+
+    cfg = FluxConfig()  # hidden 3072, 24 heads, mlp 12288 — REAL widths
+    p = _init_double_block(key, cfg, jnp.float32)
+    # outlier input rows, as in _tower: uniform random weights have none and
+    # flatter per-channel scales than real checkpoints
+    for attn in ("img_attn", "txt_attn"):
+        p[attn]["qkv"]["kernel"] = p[attn]["qkv"]["kernel"].at[17].mul(24.0)
+    for mlp in ("img_mlp", "txt_mlp"):
+        p[mlp]["in"]["kernel"] = p[mlp]["in"]["kernel"].at[33].mul(24.0)
+    return cfg, p
+
+
+@pytest.fixture(scope="module")
+def full_block():
+    from flux_generator_tpu.models.flux.model import _double_block
+    from flux_generator_tpu.ops.rope import rope_cos_sin
+
+    cfg, p = _full_width_double_block(jax.random.PRNGKey(0))
+    b, l_img, l_txt = 1, 128, 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (b, l_img, cfg.hidden_size))
+    txt = jax.random.normal(ks[1], (b, l_txt, cfg.hidden_size))
+    vec = jax.random.normal(ks[2], (b, cfg.hidden_size))
+    cos, sin = rope_cos_sin(jnp.arange(l_txt + l_img)[None], cfg.head_dim)
+
+    def run(params):
+        i, t = _double_block(params, img, txt, vec, cos, sin, cfg,
+                             use_pallas=False)
+        return np.concatenate([np.asarray(i).ravel(), np.asarray(t).ravel()])
+
+    ref = run(p)
+    return cfg, p, run, ref
+
+
+def _quant_block(p, **kw):
+    from flux_generator_tpu.ops.quant import quantize_tree
+
+    return quantize_tree(p, predicate=lambda n: n["kernel"].shape[-2] >= 512, **kw)
+
+
+def test_full_width_block_budget_int8(full_block):
+    cfg, p, run, ref = full_block
+    err = _rel_err(run(_quant_block(p)), ref)
+    assert err < PER_BLOCK_BUDGET["int8"], f"full-width int8 {err:.4f}"
+    depth = cfg.depth + cfg.depth_single_blocks
+    assert np.sqrt(depth) * err < E2E_LATENT_BUDGET
+
+
+def test_full_width_block_budget_w8a8(full_block):
+    cfg, p, run, ref = full_block
+    qp = _quant_block(p)
+    set_w8a8(True)
+    try:
+        err = _rel_err(run(qp), ref)
+    finally:
+        set_w8a8(None)
+    assert err < PER_BLOCK_BUDGET["w8a8"], f"full-width w8a8 {err:.4f}"
+    depth = cfg.depth + cfg.depth_single_blocks
+    assert np.sqrt(depth) * err < E2E_LATENT_BUDGET, \
+        f"w8a8 e2e estimate {np.sqrt(depth) * err:.4f} exceeds budget"
+
+
+def test_full_width_block_budget_int4_grouped(full_block):
+    cfg, p, run, ref = full_block
+    err = _rel_err(run(_quant_block(p, bits=4, group_size=128, pack=True)), ref)
+    assert err < PER_BLOCK_BUDGET["int4g128"], f"full-width int4 g128 {err:.4f}"
+
+
+def test_latent_budget_maps_to_acceptable_images():
+    """Criterion (c): a latent perturbed by E2E_LATENT_BUDGET rel err must
+    decode to an image within SSIM 0.90 of the clean decode — ties the
+    latent-space budget to the image-space acceptance bar."""
+    from flux_generator_tpu.pipelines.flux import FluxPipeline, pack_latents
+    from flux_generator_tpu.utils.metrics import ssim
+
+    pipe = FluxPipeline.random_init("flux-schnell", tiny=True, dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    lat = jax.random.normal(key, (1, 16, 16, pipe.ae_cfg.z_channels))
+    x = pack_latents(lat)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    x_pert = x + noise * (E2E_LATENT_BUDGET * jnp.linalg.norm(x)
+                          / jnp.linalg.norm(noise))
+    clean = np.asarray(pipe.decode_u8(x, (16, 16)))[0]
+    pert = np.asarray(pipe.decode_u8(x_pert, (16, 16)))[0]
+    s = ssim(clean, pert)
+    assert s >= 0.90, f"budget-sized latent error degrades SSIM to {s:.3f}"
+
+
+# ------------------------------------------------------------- SD coverage
+
+
+@pytest.fixture(scope="module")
+def sd_unet_case():
+    from flux_generator_tpu.models.sd.config import tiny_unet_config
+    from flux_generator_tpu.models.sd.unet import init_unet, unet_forward
+
+    cfg = tiny_unet_config()
+    p = init_unet(jax.random.PRNGKey(0), cfg, jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (1, 16, 16, cfg.in_channels))
+    t = jnp.array([0.4], jnp.float32)
+    enc = jax.random.normal(ks[1], (1, 8, cfg.cross_attention_dim[0]))
+
+    def run(params):
+        return np.asarray(unet_forward(params, cfg, x, t, enc))
+
+    return p, run, run(p)
+
+
+def _quant_sd(p, **kw):
+    from flux_generator_tpu.io.loaders import _sd_quant_predicate
+    from flux_generator_tpu.ops.quant import quantize_tree
+
+    # tiny widths: drop the 512-multiple gate but keep "dense only"
+    pred = lambda n: n["kernel"].ndim <= 3  # noqa: E731
+    return quantize_tree(p, predicate=pred, **kw)
+
+
+def test_sd_unet_int8_and_w8a8_error(sd_unet_case):
+    """SD W8A8 study (VERDICT r2 #4: none existed): UNet output error for
+    weight-only int8 and W8A8 on the real block topology (conv skips stay
+    full precision, matching the serving _sd_quant_predicate policy)."""
+    p, run, ref = sd_unet_case
+    qp = _quant_sd(p)
+    int8 = _rel_err(run(qp), ref)
+    assert int8 < 0.02, f"sd-unet int8 rel err {int8:.4f}"
+    set_w8a8(True)
+    try:
+        w8a8 = _rel_err(run(qp), ref)
+    finally:
+        set_w8a8(None)
+    assert w8a8 < 0.05, f"sd-unet w8a8 rel err {w8a8:.4f}"
+
+
+def test_sd_width_tower_w8a8():
+    """Residual tower at SD2.1 UNet width (1280/5120): the SD-scale analog
+    of the flux full-width budget."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 2 * 8)
+    blocks = []
+    for i in range(8):
+        up = init_dense(ks[2 * i], 1280, 5120)
+        down = init_dense(ks[2 * i + 1], 5120, 1280)
+        up["kernel"] = up["kernel"].at[7 + i].mul(24.0)
+        blocks.append({"up": up, "down": down})
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 1280)) * 0.5
+    ref = np.asarray(_run(blocks, x))
+    qt = _quantize_tower(blocks)
+    int8 = _rel_err(np.asarray(_run(qt, x)), ref)
+    set_w8a8(True)
+    try:
+        w8a8 = _rel_err(np.asarray(_run(qt, x)), ref)
+    finally:
+        set_w8a8(None)
+    assert int8 < 0.015 and w8a8 < 0.04, (int8, w8a8)
