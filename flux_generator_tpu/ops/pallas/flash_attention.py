@@ -55,7 +55,7 @@ def _rope_in_kernel(x, cos_e, sin_e):
 # per-head K/V + 4 pair-expanded RoPE tables ≈ 22 MB at L=6144 — well under
 # VMEM, and skipping the running-softmax streaming loop is 17% faster for
 # the whole 1024² flux denoise (2.63 → 2.17 s measured).
-from ...runtime.config import flash_blk_k, flash_one_shot_max
+from ...runtime.config import flash_blk_k, flash_blk_q, flash_one_shot_max
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -153,18 +153,18 @@ def _apply_rope_expanded(x, cos_e, sin_e):
 
 
 def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
-              use_rope, interpret, blk_k, one_shot_max):
+              use_rope, interpret, blk_k, one_shot_max, blk_q):
     """Pallas forward over head-flattened padded arrays → (out, lse)."""
-    n_q = l_pad // BLK_Q
-    blk_tab = BLK_Q if use_rope else 1
+    n_q = l_pad // blk_q
+    blk_tab = blk_q if use_rope else 1
     dtype = qh.dtype
     out_shapes = (
         jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
         jax.ShapeDtypeStruct((b * h, l_pad, 1), jnp.float32),
     )
-    lse_spec = pl.BlockSpec((1, BLK_Q, 1), lambda bh, qi, *r: (bh, qi, 0),
+    lse_spec = pl.BlockSpec((1, blk_q, 1), lambda bh, qi, *r: (bh, qi, 0),
                             memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, *r: (bh, qi, 0),
+    o_spec = pl.BlockSpec((1, blk_q, d), lambda bh, qi, *r: (bh, qi, 0),
                           memory_space=pltpu.VMEM)
 
     if l_pad <= one_shot_max:
@@ -175,7 +175,7 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
             kernel,
             grid=(b * h, n_q),
             in_specs=[
-                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0),
+                pl.BlockSpec((1, blk_q, d), lambda bh, qi: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, l_pad, d), lambda bh, qi: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -209,7 +209,7 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
             kernel,
             grid=(b * h, n_q, n_kb),
             in_specs=[
-                pl.BlockSpec((1, BLK_Q, d), lambda bh, qi, kb: (bh, qi, 0),
+                pl.BlockSpec((1, blk_q, d), lambda bh, qi, kb: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk_k, d), lambda bh, qi, kb: (bh, kb, 0),
                              memory_space=pltpu.VMEM),
@@ -231,9 +231,9 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
             out_specs=(o_spec, lse_spec),
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.VMEM((BLK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLK_Q, d), jnp.float32),
+                pltpu.VMEM((blk_q, 1), jnp.float32),
+                pltpu.VMEM((blk_q, 1), jnp.float32),
+                pltpu.VMEM((blk_q, d), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -331,16 +331,16 @@ def _bwd_dkv_kernel(qr_ref, kr_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 
 def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
-              interpret, blk_k_cfg, one_shot_max):
+              interpret, blk_k_cfg, one_shot_max, blk_q):
     """dq/dk/dv (w.r.t. the ROTATED q/k) via the two blocked kernels."""
-    n_q = l_pad // BLK_Q
+    n_q = l_pad // blk_q
     blk_k = (blk_k_cfg if l_pad % blk_k_cfg == 0 and l_pad > one_shot_max
-             else BLK_Q)
+             else blk_q)
     n_kb = l_pad // blk_k
     dtype = qr.dtype
 
     def spec_q(ax):
-        return pl.BlockSpec((1, BLK_Q, d), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
+        return pl.BlockSpec((1, blk_q, d), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
                             memory_space=pltpu.VMEM)
 
     def spec_k(ax):
@@ -348,7 +348,7 @@ def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
                             memory_space=pltpu.VMEM)
 
     def spec_s(ax):
-        return pl.BlockSpec((1, BLK_Q, 1), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
+        return pl.BlockSpec((1, blk_q, 1), lambda bh, i, j, ax=ax: (bh, (i, j)[ax], 0),
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -358,7 +358,7 @@ def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
         in_specs=[spec_q(0), spec_k(1), spec_k(1), spec_q(0), spec_s(0), spec_s(0)],
         out_specs=spec_q(0),
         out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d), dtype),
-        scratch_shapes=[pltpu.VMEM((BLK_Q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -383,27 +383,27 @@ def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _flash_core(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                one_shot_max, qh, kh, vh, cos_e, sin_e):
+                one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e):
     out, _ = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                        l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
                        interpret=interpret, blk_k=blk_k,
-                       one_shot_max=one_shot_max)
+                       one_shot_max=one_shot_max, blk_q=blk_q)
     return out
 
 
 def _flash_core_fwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                    one_shot_max, qh, kh, vh, cos_e, sin_e):
+                    one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e):
     out, lse = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                          l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
                          interpret=interpret, blk_k=blk_k,
-                         one_shot_max=one_shot_max)
+                         one_shot_max=one_shot_max, blk_q=blk_q)
     return out, (qh, kh, vh, cos_e, sin_e, out, lse)
 
 
 def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                    one_shot_max, res, do):
+                    one_shot_max, blk_q, res, do):
     qh, kh, vh, cos_e, sin_e, out, lse = res
 
     def per_head(x):
@@ -420,7 +420,8 @@ def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
                    axis=-1, keepdims=True)
     dq_r, dk_r, dv = _bwd_core(qr, kr, vh, do, lse, dvec, scale=scale, l=l,
                                l_pad=l_pad, b=b, h=h, d=d, interpret=interpret,
-                               blk_k_cfg=blk_k, one_shot_max=one_shot_max)
+                               blk_k_cfg=blk_k, one_shot_max=one_shot_max,
+                               blk_q=blk_q)
     if use_rope:
         # rotation is orthogonal: pull gradients back with the inverse (−θ)
         dq = _apply_rope_expanded(dq_r, ce, -se)
@@ -442,23 +443,32 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
     at sequence lengths where XLA attention would materialize L² logits.
     The K block size / one-shot threshold are read from runtime.config at
     each call (set_flash_attention / FGT_FLASH_BLK_K / FGT_ONE_SHOT_MAX)."""
+    one_shot_max = flash_one_shot_max()
+    blk_q = flash_blk_q()
+    if blk_q == 0:
+        # auto: the streamed path's cost is per-grid-step overhead bound
+        # (~1 µs × bh·n_q·n_kb) — bigger q tiles cut n_q 4x (measured
+        # 16640 tokens: 39.5 → 31.2 ms kernel, scripts/prof_flash_2048.py);
+        # the one-shot grid is already small, and 256 keeps its
+        # (BLK_Q, L) f32 logits tile comfortably in VMEM at L=6144
+        blk_q = 1024 if q.shape[1] > one_shot_max else BLK_Q
     return _flash_attention_jit(q, k, v, cos, sin, scale=scale,
                                 interpret=interpret, blk_k=flash_blk_k(),
-                                one_shot_max=flash_one_shot_max())
+                                one_shot_max=one_shot_max, blk_q=blk_q)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "blk_k",
-                                             "one_shot_max"))
+                                             "one_shot_max", "blk_q"))
 def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
-                         one_shot_max):
+                         one_shot_max, blk_q):
     b, l, h, d = q.shape
     if scale is None:
         scale = d**-0.5
     use_rope = cos is not None
 
-    l_pad = _round_up(l, BLK_Q)
+    l_pad = _round_up(l, blk_q)
     if l_pad > one_shot_max:  # blocked-K path needs whole K blocks
-        l_pad = _round_up(l, blk_k)
+        l_pad = _round_up(l_pad, blk_k)
     dtype = q.dtype
 
     def to_heads(x):
@@ -494,6 +504,6 @@ def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
         cos_e = jnp.zeros((b, 1, d), dtype)
         sin_e = jnp.zeros((b, 1, d), dtype)
 
-    out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope,
-                      interpret, blk_k, one_shot_max, qh, kh, vh, cos_e, sin_e)
+    out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope, interpret,
+                      blk_k, one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e)
     return out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)

@@ -69,15 +69,25 @@ def _knob(name: str, env: str, default: int) -> int:
 
 
 def set_flash_attention(*, blk_k: int | None = None,
-                        one_shot_max: int | None = None):
-    """Override the flash-attention K block size and/or the one-shot-path
+                        one_shot_max: int | None = None,
+                        blk_q: int | None = None):
+    """Override the flash-attention K/Q block sizes and/or the one-shot-path
     length threshold for subsequent calls (None = back to env/default)."""
     _KNOBS["flash_blk_k"] = blk_k
     _KNOBS["one_shot_max"] = one_shot_max
+    _KNOBS["flash_blk_q"] = blk_q
 
 
 def flash_blk_k() -> int:
     return _knob("flash_blk_k", "FGT_FLASH_BLK_K", 1024)
+
+
+def flash_blk_q() -> int:
+    """Q block size; 0 = auto (256 one-shot / 1024 streamed). The streamed
+    path's cost is dominated by per-grid-step overhead (~1 µs × bh·n_q·n_kb,
+    measured: 16640-token call 39.5→31.2 ms kernel going 256→1024 — the
+    BLK_K sweep was flat because K traffic was never the binding term)."""
+    return _knob("flash_blk_q", "FGT_FLASH_BLK_Q", 0)
 
 
 def flash_one_shot_max() -> int:
