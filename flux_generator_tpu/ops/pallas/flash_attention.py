@@ -60,18 +60,24 @@ from ...runtime.config import flash_blk_k, flash_blk_q, flash_one_shot_max
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                  o_ref, lse_ref, *, scale: float, l_actual: int, use_rope: bool):
-    q = q_ref[0].astype(jnp.float32)
+    # MXU feed stays in the INPUT dtype (bf16 matmuls run 2x f32 on the MXU;
+    # accumulation is f32 via preferred_element_type); rotation and softmax
+    # math stay f32. For f32 inputs this is bit-identical to the all-f32 form.
+    dt = q_ref.dtype
+    q = q_ref[0]
     if use_rope:
-        q = _rope_in_kernel(q, qcos_ref[0].astype(jnp.float32),
-                            qsin_ref[0].astype(jnp.float32))
+        q = _rope_in_kernel(q.astype(jnp.float32),
+                            qcos_ref[0].astype(jnp.float32),
+                            qsin_ref[0].astype(jnp.float32)).astype(dt)
 
     l_total = k_ref.shape[1]
     # one-shot path: whole (BLK_Q, L) logits tile fits VMEM
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     if use_rope:
-        k = _rope_in_kernel(k, kcos_ref[0].astype(jnp.float32),
-                            ksin_ref[0].astype(jnp.float32))
+        k = _rope_in_kernel(k.astype(jnp.float32),
+                            kcos_ref[0].astype(jnp.float32),
+                            ksin_ref[0].astype(jnp.float32)).astype(dt)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -82,7 +88,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(dt), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(denom)  # (BLK_Q, 1) logsumexp for the backward
@@ -106,15 +113,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
+    # bf16 MXU feed with f32 accumulation (see _attn_kernel); running
+    # softmax state stays f32 in scratch
+    dt = q_ref.dtype
+    q = q_ref[0]
     if use_rope:
-        q = _rope_in_kernel(q, qcos_ref[0].astype(jnp.float32),
-                            qsin_ref[0].astype(jnp.float32))
-    ks = k_ref[0].astype(jnp.float32)
-    vs = v_ref[0].astype(jnp.float32)
+        q = _rope_in_kernel(q.astype(jnp.float32),
+                            qcos_ref[0].astype(jnp.float32),
+                            qsin_ref[0].astype(jnp.float32)).astype(dt)
+    ks = k_ref[0]
+    vs = v_ref[0]
     if use_rope:
-        ks = _rope_in_kernel(ks, kcos_ref[0].astype(jnp.float32),
-                             ksin_ref[0].astype(jnp.float32))
+        ks = _rope_in_kernel(ks.astype(jnp.float32),
+                             kcos_ref[0].astype(jnp.float32),
+                             ksin_ref[0].astype(jnp.float32)).astype(dt)
 
     s = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -129,7 +141,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     m_scr[:] = m_new
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(dt), vs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(kb == n_kb - 1)
