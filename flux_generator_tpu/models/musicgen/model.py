@@ -176,15 +176,23 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
             lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False), tree
         )
 
-    # layer loop as fori_loop with the WHOLE (L, B, S, H, Dh) caches as the
-    # carry: dynamic_update_slice on a loop carry lowers to an in-place
-    # buffer write. The previous lax.scan carried the caches as xs/ys, and
-    # ys-stacking materialized a FULL cache copy every step — read+write
-    # traffic that grows with the window (at 1500-step generations the copy
-    # alone was ~1 GB/step and long-form audio dropped under realtime).
-    def layer(li, carry):
-        x, kc_all, vc_all = carry
-        p = pick(params["layers"], li)
+    # Layer loop with the WHOLE (L, B, S, H, Dh) caches in the loop CARRY:
+    # dynamic_update_slice on a carry lowers to an in-place buffer write.
+    # (An early lax.scan carried the caches as xs/ys, and ys-stacking
+    # materialized a FULL cache copy every step — read+write traffic that
+    # grows with the window; at 1500-step generations the copy alone was
+    # ~1 GB/step and long-form audio dropped under realtime.)
+    #
+    # Three knob-selected structures (runtime.config.musicgen_layer_loop)
+    # with identical math — they differ only in how the per-layer weight
+    # slices reach the MXU, which is what sets the per-op overhead above
+    # the pure weight-bandwidth floor (BENCH_RESULTS "MusicGen AR floor"):
+    #   fori   — fori_loop + dynamic_index_in_dim gathers (r2 shipping form)
+    #   scan   — lax.scan with stacked weights as xs; caches stay in the
+    #            carry, so XLA both prefetches the next layer's weight
+    #            slices and keeps the cache update in place
+    #   unroll — python-unrolled, statically indexed weights
+    def layer_body(x, kc_all, vc_all, li, p, ck, cv):
         y = layer_norm(x, p["norm1"])
         qkv = dense(p["self_attn"]["qkv"], y)
         q = _heads(qkv[..., :hid], h)
@@ -201,18 +209,49 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         from ...ops.linear import materialize_kernel as _mk
 
         q = _heads(y @ _mk(p["cross_attn"]["qkv"], y.dtype)[:, :hid], h)
-        attn = dot_product_attention(
-            q, pick(cross_k, li), pick(cross_v, li)
-        )
+        attn = dot_product_attention(q, ck, cv)
         x = x + dense(p["cross_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm2"])
         x = x + dense(p["linear2"], jax.nn.gelu(dense(p["linear1"], y), approximate=False))
         return x, kc_all, vc_all
 
-    x, new_k, new_v = jax.lax.fori_loop(
-        0, cfg.num_hidden_layers, layer, (x, k_cache, v_cache)
-    )
+    from ...runtime.config import musicgen_layer_loop
+
+    n_layers = cfg.num_hidden_layers
+    mode = musicgen_layer_loop()
+    if mode == "scan":
+
+        def scan_body(carry, xs):
+            x, kc_all, vc_all = carry
+            li, p, ck, cv = xs
+            return layer_body(x, kc_all, vc_all, li, p, ck, cv), None
+
+        (x, new_k, new_v), _ = jax.lax.scan(
+            scan_body,
+            (x, k_cache, v_cache),
+            (jnp.arange(n_layers), params["layers"], cross_k, cross_v),
+        )
+    elif mode == "unroll":
+        kc_all, vc_all = k_cache, v_cache
+        for li in range(n_layers):
+            p = jax.tree.map(lambda a, li=li: a[li], params["layers"])
+            x, kc_all, vc_all = layer_body(
+                x, kc_all, vc_all, li, p, cross_k[li], cross_v[li]
+            )
+        new_k, new_v = kc_all, vc_all
+    else:
+
+        def fori_body(li, carry):
+            x, kc_all, vc_all = carry
+            return layer_body(
+                x, kc_all, vc_all, li, pick(params["layers"], li),
+                pick(cross_k, li), pick(cross_v, li),
+            )
+
+        x, new_k, new_v = jax.lax.fori_loop(
+            0, n_layers, fori_body, (x, k_cache, v_cache)
+        )
     x = layer_norm(x, params["out_norm"])
     logits = jnp.einsum("btd,kdv->btvk", x, params["linears"].astype(dtype))
     return logits, new_k, new_v

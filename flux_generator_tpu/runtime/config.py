@@ -111,6 +111,23 @@ def musicgen_ar_unroll() -> int:
     return _knob("ar_unroll", "FGT_AR_UNROLL", 1)
 
 
+def set_musicgen_layer_loop(mode: str | None = None):
+    """Override decode_step's layer-loop structure: "fori" (fori_loop +
+    dynamic_index_in_dim weight gathers), "scan" (lax.scan with the stacked
+    layer weights as xs so XLA prefetches per-iteration slices), or
+    "unroll" (python-unrolled, statically indexed). None = back to env."""
+    _KNOBS["mg_layer_loop"] = mode
+
+
+def musicgen_layer_loop() -> str:
+    v = _KNOBS.get("mg_layer_loop")
+    if v is None:
+        v = os.environ.get("FGT_MG_LAYER_LOOP", "fori")
+    if v not in ("fori", "scan", "unroll"):
+        raise ValueError(f"FGT_MG_LAYER_LOOP must be fori|scan|unroll, got {v!r}")
+    return v
+
+
 def use_pallas_lstm() -> bool:
     # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
     # kernel is covered by interpret-mode tests). Round 1 shipped this

@@ -172,6 +172,40 @@ def test_chunked_cache_matches_full_cache(musicgen, monkeypatch):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
 
 
+def test_layer_loop_modes_bit_identical(musicgen):
+    """decode_step's fori/scan/unroll layer-loop structures (FGT_MG_LAYER_LOOP)
+    are the same math in different loop forms — logits and cache writes must
+    be bit-identical."""
+    from flux_generator_tpu.runtime.config import set_musicgen_layer_loop
+
+    cfg = musicgen.cfg
+    p = musicgen.params
+    cond = jax.random.normal(jax.random.PRNGKey(0), (2, 3, cfg.hidden_size))
+    cross_kv = mg.precompute_cross_kv(p, cfg, cond)
+    toks = jnp.full((2, 1, cfg.num_codebooks), cfg.bos_token_id)
+    outs = {}
+    try:
+        for mode in ("fori", "scan", "unroll"):
+            set_musicgen_layer_loop(mode)
+            kc, vc = mg.init_kv_cache(cfg, 2, 8, jnp.float32)
+            outs[mode] = mg.decode_step(
+                p, cfg, toks, cross_kv, kc, vc, jnp.asarray(0)
+            )
+    finally:
+        set_musicgen_layer_loop(None)
+    for a, b, name in zip(outs["fori"], outs["scan"], ("logits", "k", "v")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"scan {name}"
+        )
+    # unroll's static indexing lets XLA fuse/reassociate differently —
+    # ulp-level drift is expected (measured 6e-8); it's a profiling variant
+    for a, b, name in zip(outs["fori"], outs["unroll"], ("logits", "k", "v")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=0,
+            err_msg=f"unroll {name}"
+        )
+
+
 def test_generate_deterministic_per_seed(musicgen):
     cfg = musicgen.cfg
     cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
