@@ -153,15 +153,8 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
     offset: scalar int. Returns (logits (B, 1, V, K), new_k, new_v)."""
     b = tokens.shape[0]
     h = cfg.num_attention_heads
-    x = jnp.sum(
-        jnp.stack(
-            [params["emb"][k][tokens[..., k]] for k in range(cfg.num_codebooks)]
-        ),
-        axis=0,
-    )
+    x = _embed_tokens(params, cfg, tokens, offset)
     dtype = x.dtype
-    pos = sinusoidal_positions(offset.astype(jnp.float32), 1, cfg.hidden_size)
-    x = x + pos[None].astype(dtype)
 
     s_max = k_cache.shape[2]
     positions = jnp.arange(s_max)
@@ -257,6 +250,48 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
     return logits, new_k, new_v
 
 
+def _embed_tokens(params, cfg: MusicGenConfig, tokens, offset):
+    """Summed codebook embeddings + sinusoidal position for one AR step
+    (musicgen.py:208-211,236-240). tokens (B, 1, K) -> (B, 1, H)."""
+    x = jnp.sum(
+        jnp.stack(
+            [params["emb"][k][tokens[..., k]] for k in range(cfg.num_codebooks)]
+        ),
+        axis=0,
+    )
+    pos = sinusoidal_positions(offset.astype(jnp.float32), 1, cfg.hidden_size)
+    return x + pos[None].astype(x.dtype)
+
+
+def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
+                      k_cache, v_cache, offset,
+                      interpret: Optional[bool] = None):
+    """decode_step via the fused Pallas megakernel (ops/pallas/decode_layer):
+    the whole 48-layer stack — 6 matmuls + both attentions + norms per layer
+    — runs as ONE weight-streaming pallas_call at ~HBM bandwidth, vs ~10 us
+    per-op overhead for the discrete XLA formulation at M=2.
+
+    cross_kv: (ck, cv) each (L, B, S, H) — heads flattened; caches
+    (L, B, W, H) flat layout (this path owns its cache layout end-to-end).
+    Same signature/semantics as decode_step otherwise."""
+    from ...ops.pallas.decode_layer import fused_decode_step
+
+    if interpret is None:
+        # run the kernel in interpret mode off-TPU so the fused path (and
+        # generate() with it) stays testable on the CPU test mesh
+        interpret = jax.default_backend() != "tpu"
+    x = _embed_tokens(params, cfg, tokens, offset)
+    dtype = x.dtype
+    ck, cv = cross_kv
+    y, k_cache, v_cache = fused_decode_step(
+        packed, x[:, 0, :], ck, cv, offset, k_cache, v_cache,
+        n_heads=cfg.num_attention_heads, interpret=interpret,
+    )
+    x = layer_norm(y[:, None, :], params["out_norm"])
+    logits = jnp.einsum("btd,kdv->btvk", x, params["linears"].astype(dtype))
+    return logits, k_cache, v_cache
+
+
 def top_k_sample(key, logits, top_k: int, temperature: float):
     """logits: (V, K) → (K,) sampled ids. Top-k filter then categorical
     (musicgen.py:148-183 semantics, explicit key instead of global state)."""
@@ -297,10 +332,36 @@ def generate(
     n = conditioning.shape[0]
     dtype = conditioning.dtype
 
+    from ...runtime.config import musicgen_fused_step
+
     # CFG: [cond..., uncond...] batch of 2n
     cond = jnp.concatenate([conditioning, jnp.zeros_like(conditioning)], axis=0)
     cross_kv = precompute_cross_kv(params, cfg, cond)
-    k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, dtype)
+
+    fused = musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
+    if fused:
+        from ...ops.pallas.decode_layer import packable, pack_decode_weights
+
+        fused = packable(params["layers"])
+    if fused:
+        # fused megakernel path: flat-heads cross K/V and (L, B, W, H)
+        # caches (the kernel owns its cache layout; both layouts slice the
+        # window on axis 2, so the chunked loop below is shared)
+        packed = pack_decode_weights(
+            params["layers"], cfg.hidden_size, cfg.ffn_dim
+        )
+        L_, B2 = cfg.num_hidden_layers, 2 * n
+        ckv = tuple(
+            a.reshape(L_, B2, a.shape[2], cfg.hidden_size) for a in cross_kv
+        )
+        # window axis padded to a multiple of 8: Mosaic tiles it, so every
+        # kernel DMA slice must be 8-row aligned (rows beyond `offset` are
+        # masked in-kernel, so the pad rows are never attended)
+        w_alloc = -(-max_steps // 8) * 8
+        k_cache = jnp.zeros((L_, B2, w_alloc, cfg.hidden_size), dtype)
+        v_cache = jnp.zeros_like(k_cache)
+    else:
+        k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, dtype)
 
     audio_seq = jnp.full((n, max_steps + 1, K), cfg.bos_token_id, jnp.int32)
 
@@ -308,7 +369,12 @@ def generate(
         seq, kc, vc = carry
         tok = jax.lax.dynamic_slice(seq, (0, offset, 0), (n, 1, K))
         tok2 = jnp.concatenate([tok, tok], axis=0)  # (2n, 1, K)
-        logits, kc, vc = decode_step(params, cfg, tok2, cross_kv, kc, vc, offset)
+        if fused:
+            logits, kc, vc = decode_step_fused(
+                packed, params, cfg, tok2, ckv, kc, vc, offset
+            )
+        else:
+            logits, kc, vc = decode_step(params, cfg, tok2, cross_kv, kc, vc, offset)
         cond_l, uncond_l = logits[:n, 0], logits[n:, 0]  # (n, V, K)
         mixed = uncond_l + (cond_l - uncond_l) * guidance_coef
         step_key = jax.random.fold_in(key, offset)
@@ -335,15 +401,17 @@ def generate(
     n_chunks = max(1, -(-max_steps // chunk))
     for c in range(n_chunks):
         start, stop = c * chunk, min(max_steps, (c + 1) * chunk)
-        kc_view = k_cache[:, :, :stop]
-        vc_view = v_cache[:, :, :stop]
+        # fused path: 8-aligned windows (see w_alloc above)
+        win = min(-(-stop // 8) * 8, k_cache.shape[2]) if fused else stop
+        kc_view = k_cache[:, :, :win]
+        vc_view = v_cache[:, :, :win]
         (audio_seq, kc_view, vc_view), _ = jax.lax.scan(
             step, (audio_seq, kc_view, vc_view), jnp.arange(start, stop),
             unroll=unroll,
         )
         if stop < max_steps:
-            k_cache = k_cache.at[:, :, :stop].set(kc_view)
-            v_cache = v_cache.at[:, :, :stop].set(vc_view)
+            k_cache = k_cache.at[:, :, :win].set(kc_view)
+            v_cache = v_cache.at[:, :, :win].set(vc_view)
 
     # undo delay (musicgen.py:296-300): codebook k shifted back by k
     T_out = max_steps - K + 1

@@ -128,6 +128,30 @@ def musicgen_layer_loop() -> str:
     return v
 
 
+def set_musicgen_fused(enabled: bool | None = None):
+    """Force the fused decode-step Pallas kernel on/off (None = back to
+    FGT_MG_FUSED / auto)."""
+    _KNOBS["mg_fused"] = enabled
+
+
+def musicgen_fused_step() -> bool:
+    """Fused decode-step megakernel (ops/pallas/decode_layer.py): one
+    pallas_call per AR step streams all layer weights as uniform (H, H)
+    chunks at ~93% of HBM bandwidth where the discrete-op XLA formulation
+    pays ~10 us per small matmul (BENCH_RESULTS "MusicGen AR floor").
+    DEFAULT OFF: first real-TPU measurement (scripts/prof_fused_decode.py)
+    has the megakernel at 7.6 ms/step vs 4.5 for the XLA loop — the
+    attention phases cost more than the chain saves (being profiled).
+    Opt in with FGT_MG_FUSED=1; generate() additionally requires a packable
+    weight layout (per-out-channel int8 or plain bf16, ffn = 4h) and falls
+    back to the XLA layer loop otherwise."""
+    v = _KNOBS.get("mg_fused")
+    if v is not None:
+        return v
+    return os.environ.get("FGT_MG_FUSED", "0").lower() not in (
+        "0", "off", "false", "no", "auto")
+
+
 def use_pallas_lstm() -> bool:
     # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
     # kernel is covered by interpret-mode tests). Round 1 shipped this

@@ -1,0 +1,102 @@
+"""Profile the fused decode-step megakernel (ops/pallas/decode_layer.py) at
+full musicgen-medium geometry on real hardware, against the XLA decode_step.
+
+Amortized on-device timing (tunnel fetch excluded, same protocol as
+prof_ar_floor.py): run N steps chained through the cache carry, block once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux_generator_tpu.models.musicgen import model as mg
+from flux_generator_tpu.ops.pallas.decode_layer import (
+    fused_decode_step,
+    pack_decode_weights,
+)
+from flux_generator_tpu.ops.quant import quantize_tree
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--no-quant", action="store_true")
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--mode", choices=["fused", "xla", "both"], default="both")
+    args = ap.parse_args()
+
+    cfg = mg.MusicGenConfig()
+    dtype = jnp.bfloat16
+    shape = jax.eval_shape(
+        lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype)
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shape)
+    if not args.no_quant:
+        params = dict(
+            params, layers=quantize_tree(params["layers"], bits=8)
+        )
+    h, L = cfg.hidden_size, cfg.num_hidden_layers
+    B2 = 2
+    S = 12
+    W = -(-args.window // 8) * 8
+
+    cond = jnp.zeros((B2, S, h), dtype)
+    cross_kv = mg.precompute_cross_kv(params, cfg, cond)
+    tok = jnp.zeros((B2, 1, cfg.num_codebooks), jnp.int32)
+
+    def time_loop(step_fn, carry, n):
+        # chain n steps through the carry; block once at the end
+        c = carry
+        for i in range(2):  # warmup/compile
+            c = step_fn(c, jnp.int32(i))
+        jax.block_until_ready(c)
+        c = carry
+        t0 = time.perf_counter()
+        for i in range(n):
+            c = step_fn(c, jnp.int32(i))
+        jax.block_until_ready(c)
+        return (time.perf_counter() - t0) / n * 1000
+
+    if args.mode in ("fused", "both"):
+        packed = pack_decode_weights(params["layers"], h, cfg.ffn_dim)
+        packed = jax.tree.map(jnp.asarray, packed)
+        ckv = tuple(a.reshape(L, B2, S, h) for a in cross_kv)
+        kc = jnp.zeros((L, B2, W, h), dtype)
+        vc = jnp.zeros_like(kc)
+
+        @jax.jit
+        def fstep(carry, off):
+            x, kc, vc = carry
+            y, kc, vc = fused_decode_step(
+                packed, x, ckv[0], ckv[1], off, kc, vc,
+                n_heads=cfg.num_attention_heads, chunk=args.chunk,
+            )
+            return y, kc, vc
+
+        x0 = jnp.zeros((B2, h), dtype)
+        ms = time_loop(fstep, (x0, kc, vc), args.steps)
+        print(f"fused megakernel: {ms:.3f} ms/step (window={W}, chunk={args.chunk})")
+
+    if args.mode in ("xla", "both"):
+        kc, vc = mg.init_kv_cache(cfg, B2, W, dtype)
+
+        @jax.jit
+        def xstep(carry, off):
+            kc, vc = carry
+            logits, kc, vc = mg.decode_step(
+                params, cfg, tok, cross_kv, kc, vc, off
+            )
+            return kc, vc
+
+        ms = time_loop(xstep, (kc, vc), args.steps)
+        print(f"xla decode_step:  {ms:.3f} ms/step (window={W})")
+
+
+if __name__ == "__main__":
+    main()

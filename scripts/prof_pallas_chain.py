@@ -54,6 +54,24 @@ CPL = 14  # uniform (H, H) weight chunks per layer
 M = 8     # row-padded token block (2 live CFG rows)
 
 
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7 — far below
+    bf16 resolution). Mosaic lowers neither erf nor erfc, so the kernel needs
+    its own; exp() does lower."""
+    p_ = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p_ * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu(x, exact=False):
+    e = jax.lax.erf(x * (2.0 ** -0.5)) if exact else _erf_poly(x * (2.0 ** -0.5))
+    return 0.5 * x * (1.0 + e)
+
+
 def _ln(x):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
@@ -69,7 +87,7 @@ def _kernel(w_ref, s_ref, x_ref, o_ref, xs, lns, ys, ts, hs, accs):
         xs[...] = x_ref[...].astype(jnp.float32)
 
     def wf():
-        return w_ref[0].astype(jnp.bfloat16) * s_ref[...].astype(jnp.bfloat16)
+        return w_ref[0].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
 
     def dot(a):
         return jax.lax.dot(
@@ -114,7 +132,7 @@ def _kernel(w_ref, s_ref, x_ref, o_ref, xs, lns, ys, ts, hs, accs):
     for j in range(4):  # ffn down chunks: gelu fused, partial sums
         @pl.when(c == 10 + j)
         def _(j=j):
-            g = jax.nn.gelu(hs[:, j * H : (j + 1) * H], approximate=False)
+            g = _gelu(hs[:, j * H : (j + 1) * H])
             accs[...] = accs[...] + dot(g)
 
     @pl.when(c == 13)
@@ -124,14 +142,17 @@ def _kernel(w_ref, s_ref, x_ref, o_ref, xs, lns, ys, ts, hs, accs):
 
 
 def pallas_chain(w_chunks, s_chunks, x, *, interpret=False):
-    """w_chunks (L*CPL, H, H) int8; s_chunks (L*CPL, H) bf16; x (M, H) bf16."""
+    """w_chunks (L*CPL, H, H) int8; s_chunks (L*CPL, 1, H) bf16; x (M, H) bf16.
+
+    Scales carry a singleton middle axis so the (1, 1, H) block satisfies
+    Mosaic's block==array-dim rule on the last two axes."""
     n = w_chunks.shape[0]
     return pl.pallas_call(
         _kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, H, H), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, H), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0)),
             pl.BlockSpec((M, H), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((M, H), lambda i: (0, 0)),
@@ -156,7 +177,7 @@ def jnp_chain(w_chunks, s_chunks, x):
     """Pure-jnp twin of the kernel math (fori over layers), for numerics and
     as the XLA-formulation timing opponent."""
     wc = w_chunks.reshape(-1, CPL, H, H)
-    sc = s_chunks.reshape(-1, CPL, H)
+    sc = s_chunks.reshape(-1, CPL, H)  # (L, CPL, H); singleton axis folded
 
     def layer(li, x):
         w = jax.lax.dynamic_index_in_dim(wc, li, 0, keepdims=False)
@@ -176,7 +197,7 @@ def jnp_chain(w_chunks, s_chunks, x):
         x = x + mm(mm(lns, 4), 5)
         lns = _ln(x)
         h = jnp.concatenate([mm(lns, 6 + j) for j in range(4)], axis=-1)
-        g = jax.nn.gelu(h, approximate=False)
+        g = _gelu(h, exact=True)
         acc = sum(mm(g[:, j * H : (j + 1) * H], 10 + j) for j in range(4))
         return x + acc
 
@@ -223,7 +244,7 @@ def main():
         rng.integers(-127, 128, size=(L * CPL, H, H), dtype=np.int8)
     )
     s = jax.device_put(
-        (rng.random((L * CPL, H), dtype=np.float32) * 0.02 + 0.01)
+        (rng.random((L * CPL, 1, H), dtype=np.float32) * 0.02 + 0.01)
     ).astype(jnp.bfloat16)
     x = jax.device_put(rng.normal(size=(M, H)).astype(np.float32)).astype(
         jnp.bfloat16

@@ -1,0 +1,138 @@
+"""Parity tests for the fused MusicGen decode-step megakernel
+(ops/pallas/decode_layer.py) against the XLA layer loop (decode_step).
+
+Runs the Pallas kernel in interpret mode on the CPU test backend; the same
+code path compiles for TPU. Covers bf16 and int8-quantized weights, multi-
+step cache buildup, and the generate() integration (flat cache layout +
+chunked windows) via the runtime knob."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.models.musicgen import model as mg
+from flux_generator_tpu.ops.pallas.decode_layer import (
+    pack_decode_weights,
+    packable,
+)
+from flux_generator_tpu.runtime.config import set_musicgen_fused
+
+
+def tiny_cfg():
+    # ffn = 4h (the chunk schedule's assumption; the real model is 4h too)
+    return mg.tiny_musicgen_config(hidden_size=32, ffn_dim=128,
+                                   num_attention_heads=4, num_hidden_layers=2)
+
+
+def make_setup(quantize: bool, n: int = 1, s_text: int = 6, w: int = 8):
+    cfg = tiny_cfg()
+    params = mg.init_musicgen(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if quantize:
+        from flux_generator_tpu.ops.quant import quantize_tree
+
+        params = dict(
+            params,
+            layers=quantize_tree(
+                params["layers"], predicate=lambda node: True
+            ),
+        )
+        assert "kernel_q" in params["layers"]["self_attn"]["qkv"]
+    assert packable(params["layers"])
+    b2 = 2 * n
+    conditioning = (
+        jax.random.normal(jax.random.PRNGKey(1), (b2, s_text, cfg.hidden_size))
+        * 0.3
+    ).astype(jnp.bfloat16)
+    cross_kv = mg.precompute_cross_kv(params, cfg, conditioning)
+    packed = pack_decode_weights(params["layers"], cfg.hidden_size, cfg.ffn_dim)
+    return cfg, params, packed, cross_kv, b2, w
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_decode_step_parity(quantize):
+    cfg, params, packed, cross_kv, b2, w = make_setup(quantize)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, jnp.bfloat16)
+    kc_f = jnp.zeros((L, b2, w, h), jnp.bfloat16)
+    vc_f = jnp.zeros_like(kc_f)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    key = jax.random.PRNGKey(2)
+    for off in range(4):  # multi-step: later steps attend over real cache
+        tok = jax.random.randint(
+            jax.random.fold_in(key, off), (b2, 1, cfg.num_codebooks), 0,
+            cfg.codebook_size,
+        )
+        lg_x, kc_x, vc_x = mg.decode_step(
+            params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(off)
+        )
+        lg_f, kc_f, vc_f = mg.decode_step_fused(
+            packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(off),
+            interpret=True,
+        )
+        a = np.asarray(lg_x, np.float32)
+        b = np.asarray(lg_f, np.float32)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / denom < 0.03, (off, np.abs(a - b).max())
+        # caches agree (flat layout == heads-flattened XLA layout)
+        kx = np.asarray(kc_x, np.float32).reshape(L, b2, w, h)
+        kf = np.asarray(kc_f, np.float32)
+        assert np.abs(kx - kf).max() < 0.02
+
+
+def test_generate_fused_integration():
+    """generate() with the knob forced on (interpret kernel on CPU) matches
+    the XLA path's output SHAPE contract and produces in-vocab codes across
+    a chunk boundary (cache_chunk windows slice axis 2 of the flat cache)."""
+    cfg, params, _, _, _, _ = make_setup(False)
+    cond = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size)) * 0.3
+    ).astype(jnp.bfloat16)
+
+    from flux_generator_tpu.runtime.config import set_musicgen_loop
+
+    set_musicgen_fused(True)
+    set_musicgen_loop(cache_chunk=8)  # force >1 window chunk at 20 steps
+    try:
+        codes = mg.generate(
+            params, cfg, cond, max_steps=20, top_k=4,
+            key=jax.random.PRNGKey(4),
+        )
+    finally:
+        set_musicgen_fused(None)
+        set_musicgen_loop(cache_chunk=None)
+    assert codes.shape == (1, cfg.num_codebooks, 20 - cfg.num_codebooks + 1)
+    assert int(codes.min()) >= 0
+    assert int(codes.max()) <= cfg.codebook_size
+
+
+def test_fused_falls_back_on_unpackable():
+    """Grouped-int4 layouts must route generate() to the XLA path."""
+    cfg, params, _, _, _, _ = make_setup(False)
+    from flux_generator_tpu.ops.quant import quantize_tree
+
+    qparams = dict(
+        params,
+        layers=quantize_tree(
+            params["layers"], predicate=lambda node: True, bits=4,
+            group_size=16,
+        ),
+    )
+    assert not packable(qparams["layers"])
+    cond = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size)) * 0.3
+    ).astype(jnp.bfloat16)
+    set_musicgen_fused(True)
+    try:
+        codes = mg.generate(
+            qparams, cfg, cond, max_steps=8, top_k=4,
+            key=jax.random.PRNGKey(4),
+        )
+    finally:
+        set_musicgen_fused(None)
+    assert codes.shape == (1, cfg.num_codebooks, 8 - cfg.num_codebooks + 1)
