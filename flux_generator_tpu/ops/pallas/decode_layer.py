@@ -168,6 +168,7 @@ def _kernel(
     # scratch
     xs, lns, ys, hs, accs, kbuf, vbuf, read_sems,
     *, n_heads: int, b_live: int, chunk: int, n_chunks: int, window: int,
+    stub: tuple = (),
 ):
     i = pl.program_id(0)
     li = i // CPL
@@ -236,7 +237,8 @@ def _kernel(
         s0, b0 = ln_at(0)
         lns[...] = _ln(xs[...], s0, b0)
         ys[...] = dot(lns[...])
-        read_chunk(0, 0)
+        if "self" not in stub:
+            read_chunk(0, 0)
 
     @pl.when(c == 1)
     def _():
@@ -284,6 +286,9 @@ def _kernel(
     # ---- flash self-attention over the cache window + o-proj
     @pl.when(c == 3)
     def _():
+        if "self" in stub:  # timing bisect: o-proj of ys directly
+            xs[...] = xs[...] + dot(ys[...])
+            return
         seg, seg_t = seg_mats()
         kn = kn_out[0]
         vn = vn_out[0]
@@ -334,6 +339,9 @@ def _kernel(
 
     @pl.when(c == 5)
     def _():
+        if "cross" in stub:
+            xs[...] = xs[...] + dot(ys[...])
+            return
         seg, seg_t = seg_mats()
         outs = []
         for b in range(B):
@@ -380,11 +388,12 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "chunk", "interpret")
+    jax.jit, static_argnames=("n_heads", "chunk", "interpret", "stub")
 )
 def fused_decode_step(
     packed, x, cross_k, cross_v, offset, k_cache, v_cache,
     *, n_heads: int, chunk: int = 512, interpret: bool = False,
+    stub: tuple = (),
 ):
     """Run all decoder layers of one AR step in a single Pallas program.
 
@@ -408,7 +417,7 @@ def fused_decode_step(
 
     kernel = functools.partial(
         _kernel, n_heads=n_heads, b_live=B, chunk=chunk,
-        n_chunks=n_chunks, window=W,
+        n_chunks=n_chunks, window=W, stub=stub,
     )
     n_layers = L_cpl // CPL
     y, kn, vn = pl.pallas_call(

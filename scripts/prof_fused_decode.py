@@ -8,11 +8,18 @@ prof_ar_floor.py): run N steps chained through the cache carry, block once.
 from __future__ import annotations
 
 import argparse
+import pathlib
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from flux_generator_tpu.models.musicgen import model as mg
 from flux_generator_tpu.ops.pallas.decode_layer import (
@@ -29,6 +36,9 @@ def main():
     ap.add_argument("--no-quant", action="store_true")
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--mode", choices=["fused", "xla", "both"], default="both")
+    ap.add_argument("--stub", default="",
+                    help="comma list of phases to stub out (self,cross) — "
+                         "timing bisect only, numerics are wrong")
     args = ap.parse_args()
 
     cfg = mg.MusicGenConfig()
@@ -70,18 +80,21 @@ def main():
         kc = jnp.zeros((L, B2, W, h), dtype)
         vc = jnp.zeros_like(kc)
 
+        stub = tuple(s for s in args.stub.split(",") if s)
+
         @jax.jit
         def fstep(carry, off):
             x, kc, vc = carry
             y, kc, vc = fused_decode_step(
                 packed, x, ckv[0], ckv[1], off, kc, vc,
-                n_heads=cfg.num_attention_heads, chunk=args.chunk,
+                n_heads=cfg.num_attention_heads, chunk=args.chunk, stub=stub,
             )
             return y, kc, vc
 
         x0 = jnp.zeros((B2, h), dtype)
         ms = time_loop(fstep, (x0, kc, vc), args.steps)
-        print(f"fused megakernel: {ms:.3f} ms/step (window={W}, chunk={args.chunk})")
+        print(f"fused megakernel: {ms:.3f} ms/step "
+              f"(window={W}, chunk={args.chunk}, stub={stub})")
 
     if args.mode in ("xla", "both"):
         kc, vc = mg.init_kv_cache(cfg, B2, W, dtype)
