@@ -274,16 +274,19 @@ def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
     cross_kv: (ck, cv) each (L, B, S, H) — heads flattened; caches
     (L, B, W, H) flat layout (this path owns its cache layout end-to-end).
     Same signature/semantics as decode_step otherwise."""
-    from ...ops.pallas.decode_layer import fused_decode_step
+    from ...ops.pallas.decode_layer import fused_decode_step, fused_decode_step2
+    from ...runtime.config import musicgen_fused_impl
 
     if interpret is None:
         # run the kernel in interpret mode off-TPU so the fused path (and
         # generate() with it) stays testable on the CPU test mesh
         interpret = jax.default_backend() != "tpu"
+    step_fn = (fused_decode_step2 if musicgen_fused_impl() == "v2"
+               else fused_decode_step)
     x = _embed_tokens(params, cfg, tokens, offset)
     dtype = x.dtype
     ck, cv = cross_kv
-    y, k_cache, v_cache = fused_decode_step(
+    y, k_cache, v_cache = step_fn(
         packed, x[:, 0, :], ck, cv, offset, k_cache, v_cache,
         n_heads=cfg.num_attention_heads, interpret=interpret,
     )

@@ -387,6 +387,311 @@ def _kernel(
         o_ref[...] = xs[...].astype(o_ref.dtype)
 
 
+# ------------------------------------------------------------ kernel v2
+#
+# Same phase schedule and packed-weight stream as _kernel, but all the
+# manual DMA machinery is replaced by the automatic grid pipeline:
+#   - the K/V cache window arrives as BLOCKED inputs (1, B, chunk, H) whose
+#     index map walks the chunks across phases c2/c3 (chunk j is prefetched
+#     a full phase before it is consumed, by the same machinery that
+#     double-buffers the weight chunks; no in-kernel semaphores);
+#   - the new K/V rows leave through constant-index (L, B, H) outputs
+#     (one copy-out at the END of the grid instead of 2 blocked copy-outs
+#     per layer);
+#   - flash chunk 0 is folded into the v-projection phase c2 (the running
+#     softmax state lives in ms/ls scratch + the accs buffer, which is free
+#     until the ffn-down phases), chunk 1 (long windows) into c3.
+# n_chunks <= 2 by construction: chunk = W for W <= 768, else ceil(W/2)
+# rounded to 8 — covers the 1504-position long-form window.
+
+
+def _kernel2(
+    # inputs
+    off_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref, kc_ref, vc_ref,
+    # outputs
+    o_ref, kn_out, vn_out,
+    # scratch
+    xs, lns, ys, hs, accs, ms, ls,
+    *, n_heads: int, b_live: int, chunk: int, n_chunks: int, window: int,
+    stub: tuple = (),
+):
+    i = pl.program_id(0)
+    li = i // CPL
+    c = jax.lax.rem(i, CPL)
+    off = off_ref[0]
+    h = xs.shape[-1]
+    dh = h // n_heads
+    scale = dh ** -0.5
+    B = b_live
+
+    def wf():
+        return w_ref[0].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot(
+            a.astype(jnp.bfloat16), wf(), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == 0)
+    def _():
+        xs[...] = x_ref[...].astype(jnp.float32)
+
+    def ln_at(k):
+        return (
+            ln_ref[0, k : k + 1].astype(jnp.float32),
+            ln_ref[0, k + 1 : k + 2].astype(jnp.float32),
+        )
+
+    def seg_mats():
+        seg = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, n_heads), 0) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (h, n_heads), 1)
+        ).astype(jnp.bfloat16)
+        seg_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_heads, h), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n_heads, h), 1) // dh
+        ).astype(jnp.bfloat16)
+        return seg, seg_t
+
+    def head_sum(x2d, seg):
+        return jax.lax.dot(x2d, seg, preferred_element_type=jnp.float32)
+
+    def head_expand(x2d, seg_t):
+        return jax.lax.dot(
+            x2d.astype(jnp.bfloat16), seg_t, preferred_element_type=jnp.float32
+        )
+
+    def pad_rows(outs):
+        pad = jnp.zeros((ys.shape[0] - len(outs), h), ys.dtype)
+        return jnp.concatenate(
+            [o.astype(ys.dtype) for o in outs] + [pad], axis=0
+        )
+
+    def process_chunk(j):
+        """Fold cache chunk j (the block currently mapped into kc/vc_ref)
+        into the running softmax state (ms/ls scratch, accs accumulator)."""
+        seg, seg_t = seg_mats()
+        for b in range(B):
+            qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+            kcb = kc_ref[0, b]                            # (chunk, H) bf16
+            vcb = vc_ref[0, b]
+            lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
+            pos = j * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, lo.shape, 0)
+            live = pos < off
+            lo = jnp.where(live, lo, NEG)
+            m_old = ms[b : b + 1, :]
+            m_new = jnp.maximum(m_old, jnp.max(lo, axis=0, keepdims=True))
+            p = jnp.exp(lo - m_new)                       # (chunk, nh)
+            r = jnp.exp(m_old - m_new)                    # (1, nh)
+            ls[b : b + 1, :] = ls[b : b + 1, :] * r + jnp.sum(
+                p, axis=0, keepdims=True)
+            # zero OOB V rows: the last block may read past W (block pad)
+            # and 0 * garbage would still poison the sum
+            vz = jnp.where(
+                jnp.broadcast_to(live[:, :1], vcb.shape),
+                vcb.astype(jnp.float32), 0.0,
+            ).astype(jnp.bfloat16)
+            pv = jnp.sum(
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
+                axis=0, keepdims=True,
+            ).astype(jnp.float32)
+            accs[b : b + 1, :] = accs[b : b + 1, :] * head_expand(
+                r, seg_t) + pv
+            ms[b : b + 1, :] = m_new
+
+    # ---- self-attn qkv + flash chunks
+    @pl.when(c == 0)
+    def _():
+        s0, b0 = ln_at(0)
+        lns[...] = _ln(xs[...], s0, b0)
+        ys[...] = dot(lns[...])
+
+    @pl.when(c == 1)
+    def _():
+        kn_out[li] = dot(lns[...])[0:B, :].astype(kn_out.dtype)
+
+    @pl.when(c == 2)
+    def _():
+        vn = dot(lns[...])
+        vn_out[li] = vn[0:B, :].astype(vn_out.dtype)
+        if "self" not in stub:
+            seg, seg_t = seg_mats()
+            kn = kn_out[li]
+            # seed the running softmax with the current token (always live,
+            # so fully-masked cache chunks cannot poison the running max)
+            for b in range(B):
+                qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+                m0 = head_sum(qb * kn[b : b + 1, :].astype(jnp.bfloat16), seg)
+                ms[b : b + 1, :] = m0
+                ls[b : b + 1, :] = jnp.ones_like(m0)
+                accs[b : b + 1, :] = vn[b : b + 1, :]
+            process_chunk(0)
+
+    @pl.when(c == 3)
+    def _():
+        if "self" in stub:  # timing bisect: o-proj of ys directly
+            xs[...] = xs[...] + dot(ys[...])
+            return
+        if n_chunks > 1:
+            process_chunk(1)
+        _, seg_t = seg_mats()
+        outs = [
+            accs[b : b + 1, :] / head_expand(ls[b : b + 1, :], seg_t)
+            for b in range(B)
+        ]
+        ys[...] = pad_rows(outs)
+        xs[...] = xs[...] + dot(ys[...])
+
+    # ---- cross-attention q / attention + o-proj
+    @pl.when(c == 4)
+    def _():
+        s0, b0 = ln_at(2)
+        lns[...] = _ln(xs[...], s0, b0)
+        ys[...] = dot(lns[...])
+
+    @pl.when(c == 5)
+    def _():
+        if "cross" in stub:
+            xs[...] = xs[...] + dot(ys[...])
+            return
+        seg, seg_t = seg_mats()
+        outs = []
+        for b in range(B):
+            qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+            kc = ck_ref[0, b]                             # (S, H) bf16
+            vc = cv_ref[0, b]
+            lo = head_sum(qb * kc, seg)                   # (S, nh)
+            m = jnp.max(lo, axis=0, keepdims=True)
+            p = jnp.exp(lo - m)
+            psum = jnp.sum(p, axis=0, keepdims=True)      # (1, nh)
+            av = jnp.sum(
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                axis=0, keepdims=True,
+            ).astype(jnp.float32)
+            outs.append(av / head_expand(psum, seg_t))
+        ys[...] = pad_rows(outs)
+        xs[...] = xs[...] + dot(ys[...])
+
+    # ---- ffn
+    @pl.when(c == 6)
+    def _():
+        s0, b0 = ln_at(4)
+        lns[...] = _ln(xs[...], s0, b0)
+
+    for j in range(4):
+        @pl.when(c == 6 + j)
+        def _(j=j):
+            hs[:, j * h : (j + 1) * h] = dot(lns[...])
+
+    @pl.when(c == 10)
+    def _():
+        accs[...] = jnp.zeros_like(accs)
+
+    for j in range(4):
+        @pl.when(c == 10 + j)
+        def _(j=j):
+            g = _gelu(hs[:, j * h : (j + 1) * h])
+            accs[...] = accs[...] + dot(g)
+
+    @pl.when(c == 13)
+    def _():
+        xs[...] = xs[...] + accs[...]
+        o_ref[...] = xs[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "chunk", "interpret", "stub")
+)
+def fused_decode_step2(
+    packed, x, cross_k, cross_v, offset, k_cache, v_cache,
+    *, n_heads: int, chunk: int = 0, interpret: bool = False,
+    stub: tuple = (),
+):
+    """fused_decode_step via the auto-pipelined kernel (_kernel2).
+
+    Identical contract to fused_decode_step; `chunk` is derived from the
+    window (<= 2 chunks) and the argument is ignored."""
+    L_cpl, h, _ = packed["w"].shape
+    B, _ = x.shape
+    W = k_cache.shape[2]
+    if W % 8:
+        raise ValueError(f"cache window {W} must be a multiple of 8")
+    M = max(8, B)
+    if W <= 768:
+        chunk = W
+    else:
+        chunk = (-(-W // 2) + 7) // 8 * 8
+    n_chunks = -(-W // chunk)
+    assert n_chunks <= 2
+
+    x_pad = jnp.zeros((M, h), x.dtype).at[0:B, :].set(x)
+    off = jnp.reshape(offset.astype(jnp.int32), (1,))
+
+    kernel = functools.partial(
+        _kernel2, n_heads=n_heads, b_live=B, chunk=chunk,
+        n_chunks=n_chunks, window=W, stub=stub,
+    )
+    n_layers = L_cpl // CPL
+
+    def kv_idx(i):
+        return (
+            i // CPL, 0,
+            jnp.clip(jax.lax.rem(i, CPL) - 2, 0, n_chunks - 1), 0,
+        )
+
+    y, kn, vn = pl.pallas_call(
+        kernel,
+        grid=(L_cpl,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # offset
+            pl.BlockSpec((1, h, h), lambda i: (i, 0, 0)),           # w chunk
+            pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0)),           # scales
+            pl.BlockSpec((1, 8, h), lambda i: (i // CPL, 0, 0)),    # ln
+            pl.BlockSpec((M, h), lambda i: (0, 0)),                 # x
+            pl.BlockSpec(
+                (1, B, cross_k.shape[2], h), lambda i: (i // CPL, 0, 0, 0)
+            ),                                                      # cross K
+            pl.BlockSpec(
+                (1, B, cross_v.shape[2], h), lambda i: (i // CPL, 0, 0, 0)
+            ),                                                      # cross V
+            pl.BlockSpec((1, B, chunk, h), kv_idx),                 # k window
+            pl.BlockSpec((1, B, chunk, h), kv_idx),                 # v window
+        ],
+        out_specs=[
+            pl.BlockSpec((M, h), lambda i: (0, 0)),                 # y
+            pl.BlockSpec((L_cpl // CPL, B, h), lambda i: (0, 0, 0)),  # k rows
+            pl.BlockSpec((L_cpl // CPL, B, h), lambda i: (0, 0, 0)),  # v rows
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, h), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), k_cache.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), v_cache.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, h), jnp.float32),          # xs
+            pltpu.VMEM((M, h), jnp.float32),          # lns
+            pltpu.VMEM((M, h), jnp.float32),          # ys
+            pltpu.VMEM((M, 4 * h), jnp.float32),      # hs
+            pltpu.VMEM((M, h), jnp.float32),          # accs
+            pltpu.VMEM((M, n_heads), jnp.float32),    # ms (running max)
+            pltpu.VMEM((M, n_heads), jnp.float32),    # ls (running sum)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, packed["w"], packed["s"], packed["ln"], x_pad,
+      cross_k, cross_v, k_cache, v_cache)
+    zero = jnp.int32(0)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, kn[:, :, None, :], (zero, zero, offset, zero))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, vn[:, :, None, :], (zero, zero, offset, zero))
+    return y[0:B, :], k_cache, v_cache
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "chunk", "interpret", "stub")
 )

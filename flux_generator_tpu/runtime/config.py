@@ -152,6 +152,27 @@ def musicgen_fused_step() -> bool:
         "0", "off", "false", "no", "auto")
 
 
+def set_musicgen_fused_impl(impl: str | None = None):
+    """Select the fused decode-step kernel implementation (None = back to
+    FGT_MG_FUSED_IMPL / default)."""
+    if impl is not None and impl not in ("v1", "v2"):
+        raise ValueError(f"impl must be v1|v2, got {impl!r}")
+    _KNOBS["mg_fused_impl"] = impl
+
+
+def musicgen_fused_impl() -> str:
+    """Which fused decode-step kernel: "v1" streams the KV cache with
+    manual double-buffered DMAs; "v2" (default) lets the automatic grid
+    pipeline deliver the cache window as blocked inputs and folds the
+    flash chunks into the k/v-projection phases (no in-kernel semaphores,
+    per-layer K/V rows leave through one constant-index output)."""
+    v = _KNOBS.get("mg_fused_impl")
+    if v is not None:
+        return v
+    v = os.environ.get("FGT_MG_FUSED_IMPL", "v2")
+    return v if v in ("v1", "v2") else "v2"
+
+
 def use_pallas_lstm() -> bool:
     # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
     # kernel is covered by interpret-mode tests). Round 1 shipped this

@@ -24,6 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from flux_generator_tpu.models.musicgen import model as mg
 from flux_generator_tpu.ops.pallas.decode_layer import (
     fused_decode_step,
+    fused_decode_step2,
     pack_decode_weights,
 )
 from flux_generator_tpu.ops.quant import quantize_tree
@@ -36,6 +37,7 @@ def main():
     ap.add_argument("--no-quant", action="store_true")
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--mode", choices=["fused", "xla", "both"], default="both")
+    ap.add_argument("--impl", choices=["v1", "v2"], default="v1")
     ap.add_argument("--stub", default="",
                     help="comma list of phases to stub out (self,cross) — "
                          "timing bisect only, numerics are wrong")
@@ -85,7 +87,8 @@ def main():
         @jax.jit
         def fstep(carry, off):
             x, kc, vc = carry
-            y, kc, vc = fused_decode_step(
+            kfn = fused_decode_step2 if args.impl == "v2" else fused_decode_step
+            y, kc, vc = kfn(
                 packed, x, ckv[0], ckv[1], off, kc, vc,
                 n_heads=cfg.num_attention_heads, chunk=args.chunk, stub=stub,
             )
@@ -93,7 +96,7 @@ def main():
 
         x0 = jnp.zeros((B2, h), dtype)
         ms = time_loop(fstep, (x0, kc, vc), args.steps)
-        print(f"fused megakernel: {ms:.3f} ms/step "
+        print(f"fused megakernel[{args.impl}]: {ms:.3f} ms/step "
               f"(window={W}, chunk={args.chunk}, stub={stub})")
 
     if args.mode in ("xla", "both"):

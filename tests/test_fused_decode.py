@@ -51,8 +51,11 @@ def make_setup(quantize: bool, n: int = 1, s_text: int = 6, w: int = 8):
     return cfg, params, packed, cross_kv, b2, w
 
 
+@pytest.mark.parametrize("impl", ["v1", "v2"])
 @pytest.mark.parametrize("quantize", [False, True])
-def test_decode_step_parity(quantize):
+def test_decode_step_parity(quantize, impl):
+    from flux_generator_tpu.runtime.config import set_musicgen_fused_impl
+
     cfg, params, packed, cross_kv, b2, w = make_setup(quantize)
     h = cfg.hidden_size
     L = cfg.num_hidden_layers
@@ -63,26 +66,73 @@ def test_decode_step_parity(quantize):
     ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
 
     key = jax.random.PRNGKey(2)
-    for off in range(4):  # multi-step: later steps attend over real cache
-        tok = jax.random.randint(
-            jax.random.fold_in(key, off), (b2, 1, cfg.num_codebooks), 0,
-            cfg.codebook_size,
-        )
-        lg_x, kc_x, vc_x = mg.decode_step(
-            params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(off)
-        )
+    set_musicgen_fused_impl(impl)
+    try:
+        for off in range(4):  # multi-step: later steps attend over real cache
+            tok = jax.random.randint(
+                jax.random.fold_in(key, off), (b2, 1, cfg.num_codebooks), 0,
+                cfg.codebook_size,
+            )
+            lg_x, kc_x, vc_x = mg.decode_step(
+                params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(off)
+            )
+            lg_f, kc_f, vc_f = mg.decode_step_fused(
+                packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(off),
+                interpret=True,
+            )
+            _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
+    finally:
+        set_musicgen_fused_impl(None)
+
+
+def _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w):
+    a = np.asarray(lg_x, np.float32)
+    b = np.asarray(lg_f, np.float32)
+    denom = max(1e-3, float(np.abs(a).max()))
+    assert np.abs(a - b).max() / denom < 0.03, np.abs(a - b).max()
+    # caches agree (flat layout == heads-flattened XLA layout)
+    L, h = cfg.num_hidden_layers, cfg.hidden_size
+    kx = np.asarray(kc_x, np.float32).reshape(L, b2, w, h)
+    kf = np.asarray(kc_f, np.float32)
+    assert np.abs(kx - kf).max() < 0.02
+
+
+def test_decode_step_parity_two_chunks():
+    """v2 splits windows > 768 into two pipelined chunks; drive it with a
+    prefilled cache and an offset deep inside chunk 1 so both chunks (and
+    the block-pad masking on the second) carry live attention mass."""
+    from flux_generator_tpu.runtime.config import set_musicgen_fused_impl
+
+    cfg, params, packed, cross_kv, b2, w = make_setup(False, w=1024)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, jnp.bfloat16)
+    r_k = (jax.random.normal(jax.random.PRNGKey(7), (L, b2, w, h)) * 0.2
+           ).astype(jnp.bfloat16)
+    r_v = (jax.random.normal(jax.random.PRNGKey(8), (L, b2, w, h)) * 0.2
+           ).astype(jnp.bfloat16)
+    kc_x = r_k.reshape(kc_x.shape)
+    vc_x = r_v.reshape(vc_x.shape)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    tok = jax.random.randint(
+        jax.random.PRNGKey(9), (b2, 1, cfg.num_codebooks), 0,
+        cfg.codebook_size,
+    )
+    off = jnp.int32(700)  # chunk 0 fully live, chunk 1 partially live
+    lg_x, kc_x, vc_x = mg.decode_step(
+        params, cfg, tok, cross_kv, kc_x, vc_x, off
+    )
+    set_musicgen_fused_impl("v2")
+    try:
         lg_f, kc_f, vc_f = mg.decode_step_fused(
-            packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(off),
+            packed, params, cfg, tok, ckv_flat, r_k, r_v, off,
             interpret=True,
         )
-        a = np.asarray(lg_x, np.float32)
-        b = np.asarray(lg_f, np.float32)
-        denom = max(1e-3, float(np.abs(a).max()))
-        assert np.abs(a - b).max() / denom < 0.03, (off, np.abs(a - b).max())
-        # caches agree (flat layout == heads-flattened XLA layout)
-        kx = np.asarray(kc_x, np.float32).reshape(L, b2, w, h)
-        kf = np.asarray(kc_f, np.float32)
-        assert np.abs(kx - kf).max() < 0.02
+    finally:
+        set_musicgen_fused_impl(None)
+    _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
 
 
 def test_generate_fused_integration():
