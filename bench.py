@@ -451,12 +451,24 @@ def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False
         lambda p, c, key: mg.generate(p, cfg, c, max_steps, 250, 1.0, 3.0, key)
     )
     np.asarray(gen(params, cond, jax.random.PRNGKey(0)))  # compile
+    # the AR-only metric wants pure ms/step: subtract the tunnel's
+    # device->host fetch cost (measured, VARIES per session — ~30 ms would
+    # otherwise inflate a 50-step run by ~0.6 ms/step)
+    fetch_fn = jax.jit(lambda v: v.astype(jnp.float32).sum())
+    z = jnp.ones((8, 8), jnp.bfloat16)
+    float(fetch_fn(z))
+    fts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(fetch_fn(z))
+        fts.append(time.perf_counter() - t0)
+    fetch = float(np.median(fts))
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         np.asarray(gen(params, cond, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+    p50 = max(float(np.median(times)) - fetch, 1e-6)
     audio_sec = max_steps / 50.0  # 50 Hz frames (encodec 32kHz / hop 640)
     return {
         "metric": f"MusicGen-medium audio-sec/sec ({max_steps} AR steps, CFG batch 2)",

@@ -326,13 +326,15 @@ def run_one(extras, layers, steps, chunk, window):
     print(f"extras={sorted(extras)}: {ms:7.3f} ms/step", flush=True)
 
 
-# Group ladder first (each remote compile costs ~10 min through the
-# tunnel); refine inside the guilty group with --extras afterwards.
+# v1 (manual DMA) and v2 (auto-pipelined) both measure ~7.3-7.6 ms/step
+# while the bare chain runs 2.09 — so the overhead lives in what they
+# SHARE: the smem scalar, the ln block, or the cross K/V blocks. Each
+# remote compile costs ~15 min through the tunnel; keep the list tight.
 LADDER = [
     "",
+    "smem",
+    "smem,ln",
     "smem,ln,cross",
-    "smem,ln,cross,outs",
-    "smem,ln,cross,outs,hbm,bufs,dma",
 ]
 
 
