@@ -62,18 +62,39 @@ def main():
     cross_kv = mg.precompute_cross_kv(params, cfg, cond)
     tok = jnp.zeros((B2, 1, cfg.num_codebooks), jnp.int32)
 
+    def fetch_cost_s():
+        g = jax.jit(lambda v: v.astype(jnp.float32).sum())
+        z = jnp.ones((8, 8), jnp.bfloat16)
+        float(g(z))
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(g(z))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
     def time_loop(step_fn, carry, n):
-        # chain n steps through the carry; block once at the end
-        c = carry
-        for i in range(2):  # warmup/compile
-            c = step_fn(c, jnp.int32(i))
-        jax.block_until_ready(c)
-        c = carry
-        t0 = time.perf_counter()
-        for i in range(n):
-            c = step_fn(c, jnp.int32(i))
-        jax.block_until_ready(c)
-        return (time.perf_counter() - t0) / n * 1000
+        # ONE jit around the whole chain: per-call dispatch through the axon
+        # tunnel costs ~4-5 ms, which an earlier per-step version of this
+        # harness mistook for kernel overhead (it dwarfed the signal).
+        # block_until_ready does not sync through the tunnel either — the
+        # program reduces its carry to one scalar, fetched once, and the
+        # measured fetch cost is subtracted.
+        def run(c0):
+            out = jax.lax.fori_loop(0, n, lambda i, c: step_fn(c, i), c0)
+            return sum(
+                jnp.sum(a.astype(jnp.float32)) for a in jax.tree.leaves(out)
+            )
+
+        g = jax.jit(run)
+        float(g(carry))  # compile + warmup
+        fetch = fetch_cost_s()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(g(carry))
+            ts.append(time.perf_counter() - t0)
+        return (float(np.median(ts)) - fetch) / n * 1000
 
     if args.mode in ("fused", "both"):
         packed = pack_decode_weights(params["layers"], h, cfg.ffn_dim)
