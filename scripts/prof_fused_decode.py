@@ -33,11 +33,11 @@ from flux_generator_tpu.ops.quant import quantize_tree
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--window", default="512", help="comma list ok")
     ap.add_argument("--no-quant", action="store_true")
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--mode", choices=["fused", "xla", "both"], default="both")
-    ap.add_argument("--impl", choices=["v1", "v2"], default="v1")
+    ap.add_argument("--impl", default="v1", help="v1|v2, comma list ok")
     ap.add_argument("--stub", default="",
                     help="comma list of phases to stub out (self,cross) — "
                          "timing bisect only, numerics are wrong")
@@ -56,7 +56,6 @@ def main():
     h, L = cfg.hidden_size, cfg.num_hidden_layers
     B2 = 2
     S = 12
-    W = -(-args.window // 8) * 8
 
     cond = jnp.zeros((B2, S, h), dtype)
     cross_kv = mg.precompute_cross_kv(params, cfg, cond)
@@ -96,43 +95,55 @@ def main():
             ts.append(time.perf_counter() - t0)
         return (float(np.median(ts)) - fetch) / n * 1000
 
+    stub = tuple(s for s in args.stub.split(",") if s)
+    packed = None
     if args.mode in ("fused", "both"):
         packed = pack_decode_weights(params["layers"], h, cfg.ffn_dim)
         packed = jax.tree.map(jnp.asarray, packed)
         ckv = tuple(a.reshape(L, B2, S, h) for a in cross_kv)
-        kc = jnp.zeros((L, B2, W, h), dtype)
-        vc = jnp.zeros_like(kc)
 
-        stub = tuple(s for s in args.stub.split(",") if s)
+    windows = [
+        -(-int(w) // 8) * 8 for w in str(args.window).split(",")
+    ]
+    impls = args.impl.split(",")
 
-        @jax.jit
-        def fstep(carry, off):
-            x, kc, vc = carry
-            kfn = fused_decode_step2 if args.impl == "v2" else fused_decode_step
-            y, kc, vc = kfn(
-                packed, x, ckv[0], ckv[1], off, kc, vc,
-                n_heads=cfg.num_attention_heads, chunk=args.chunk, stub=stub,
-            )
-            return y, kc, vc
+    for W in windows:
+        if args.mode in ("fused", "both"):
+            kc = jnp.zeros((L, B2, W, h), dtype)
+            vc = jnp.zeros_like(kc)
+            for impl in impls:
+                kfn = fused_decode_step2 if impl == "v2" else fused_decode_step
 
-        x0 = jnp.zeros((B2, h), dtype)
-        ms = time_loop(fstep, (x0, kc, vc), args.steps)
-        print(f"fused megakernel[{args.impl}]: {ms:.3f} ms/step "
-              f"(window={W}, chunk={args.chunk}, stub={stub})")
+                @jax.jit
+                def fstep(carry, off, kfn=kfn):
+                    x, kc, vc = carry
+                    y, kc, vc = kfn(
+                        packed, x, ckv[0], ckv[1], off, kc, vc,
+                        n_heads=cfg.num_attention_heads, chunk=args.chunk,
+                        stub=stub,
+                    )
+                    return y, kc, vc
 
-    if args.mode in ("xla", "both"):
-        kc, vc = mg.init_kv_cache(cfg, B2, W, dtype)
+                x0 = jnp.zeros((B2, h), dtype)
+                ms = time_loop(fstep, (x0, kc, vc), args.steps)
+                print(f"fused megakernel[{impl}]: {ms:.3f} ms/step "
+                      f"(window={W}, chunk={args.chunk}, stub={stub})",
+                      flush=True)
 
-        @jax.jit
-        def xstep(carry, off):
-            kc, vc = carry
-            logits, kc, vc = mg.decode_step(
-                params, cfg, tok, cross_kv, kc, vc, off
-            )
-            return kc, vc
+        if args.mode in ("xla", "both"):
+            kc, vc = mg.init_kv_cache(cfg, B2, W, dtype)
 
-        ms = time_loop(xstep, (kc, vc), args.steps)
-        print(f"xla decode_step:  {ms:.3f} ms/step (window={W})")
+            @jax.jit
+            def xstep(carry, off):
+                kc, vc = carry
+                logits, kc, vc = mg.decode_step(
+                    params, cfg, tok, cross_kv, kc, vc, off
+                )
+                return kc, vc
+
+            ms = time_loop(xstep, (kc, vc), args.steps)
+            print(f"xla decode_step:  {ms:.3f} ms/step (window={W})",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -161,6 +161,32 @@ def test_generate_fused_integration():
     assert int(codes.max()) <= cfg.codebook_size
 
 
+def test_decode_step_parity_batched():
+    """n_samples=2 batched generation runs the kernel at B=4 (CFG 2x per
+    sample) — exercises the pad_rows/per-b loops beyond the default B=2."""
+    cfg, params, packed, cross_kv, b2, w = make_setup(False, n=2)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, jnp.bfloat16)
+    kc_f = jnp.zeros((L, b2, w, h), jnp.bfloat16)
+    vc_f = jnp.zeros_like(kc_f)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    tok = jax.random.randint(
+        jax.random.PRNGKey(5), (b2, 1, cfg.num_codebooks), 0,
+        cfg.codebook_size,
+    )
+    lg_x, kc_x, vc_x = mg.decode_step(
+        params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(0)
+    )
+    lg_f, kc_f, vc_f = mg.decode_step_fused(
+        packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(0),
+        interpret=True,
+    )
+    _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
+
+
 def test_fused_falls_back_on_unpackable():
     """Grouped-int4 layouts must route generate() to the XLA path."""
     cfg, params, _, _, _, _ = make_setup(False)
