@@ -99,6 +99,61 @@ def parse_model_proto(data: bytes):
 _NORMAL, _UNKNOWN, _CONTROL, _USER_DEFINED, _BYTE, _UNUSED = 1, 2, 3, 4, 6, 5
 
 
+class _NativeUnigram:
+    """ctypes wrapper over the C++ Viterbi engine (csrc/spm_unigram.cpp).
+    Build with scripts/build_native.py; absent lib → Python fallback."""
+
+    def __init__(self, scores, ids, byte_pieces, unk_id):
+        import ctypes
+        from pathlib import Path
+
+        lib_path = Path(__file__).parent.parent / "native" / "libfgt_tokenizer.so"
+        self._lib = ctypes.CDLL(str(lib_path))
+        if not hasattr(self._lib, "fgt_spm_create"):
+            raise OSError("libfgt_tokenizer.so predates the spm engine")
+        self._lib.fgt_spm_create.restype = ctypes.c_void_p
+        self._lib.fgt_spm_add_piece.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_int32,
+        ]
+        self._lib.fgt_spm_encode.restype = ctypes.c_int32
+        self._lib.fgt_spm_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        self._h = ctypes.c_void_p(self._lib.fgt_spm_create())
+        for piece, score in scores.items():
+            self._lib.fgt_spm_add_piece(
+                self._h, piece.encode(), ctypes.c_double(score),
+                ctypes.c_int32(ids[piece]),
+            )
+        for b, i in byte_pieces.items():
+            self._lib.fgt_spm_add_byte(
+                self._h, ctypes.c_int32(b), ctypes.c_int32(i))
+        self._lib.fgt_spm_set_unk(self._h, ctypes.c_int32(unk_id))
+        self._ctypes = ctypes
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    def segment(self, text: str):
+        n = self._lib.fgt_spm_encode(self._h, text.encode(), self._buf, 4096)
+        if n < 0:
+            raise ValueError("segmentation overflow (>4096 pieces)")
+        return list(self._buf[:n])
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fgt_spm_destroy(self._h)
+
+
+def _native_lib_present() -> bool:
+    import os
+    from pathlib import Path
+
+    if os.environ.get("FGT_NATIVE_TOKENIZER", "1").lower() in (
+            "0", "off", "false", "no"):
+        return False
+    return (Path(__file__).parent.parent / "native" / "libfgt_tokenizer.so").exists()
+
+
 class SentencePieceUnigramTokenizer:
     def __init__(self, pieces, trainer=None, normalizer=None, max_length: int = 512):
         self.max_length = max_length
@@ -123,6 +178,13 @@ class SentencePieceUnigramTokenizer:
             self.scores[piece] = score
             self.ids[piece] = i
             self._max_piece_len = max(self._max_piece_len, len(piece))
+        self._native = None
+        if _native_lib_present():
+            try:
+                self._native = _NativeUnigram(
+                    self.scores, self.ids, self.byte_pieces, self.unk_id)
+            except OSError:
+                self._native = None
 
     @classmethod
     def from_file(cls, model_file, max_length: int = 512):
@@ -160,6 +222,11 @@ class SentencePieceUnigramTokenizer:
 
     def _segment(self, text: str) -> list:
         """Unigram Viterbi over the normalized string → piece ids."""
+        if self._native is not None:
+            return self._native.segment(text)
+        return self._segment_py(text)
+
+    def _segment_py(self, text: str) -> list:
         n = len(text)
         NEG = float("-inf")
         best = [NEG] * (n + 1)

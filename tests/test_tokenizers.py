@@ -133,3 +133,50 @@ def test_spm_decode_roundtrip(spm_model):
     tok = SentencePieceUnigramTokenizer.from_file(spm_model, max_length=8)
     ids = tok.tokenize("the cat", pad=False)
     assert tok.decode(ids) == "the cat"
+
+
+def _force_py(tok):
+    tok._native = None
+    return tok
+
+
+def test_spm_native_matches_python(spm_model):
+    """The C++ Viterbi engine (csrc/spm_unigram.cpp) must reproduce the
+    Python DP exactly — same scores, tie-breaks, and unk fallback."""
+    tok = SentencePieceUnigramTokenizer.from_file(spm_model, max_length=64)
+    if tok._native is None:
+        pytest.skip("native tokenizer lib not built")
+    cases = [
+        "the cat", "thecat", "t h e", "", "the the the cat at hat",
+        "xyzzy",              # all-unknown (no byte pieces → unk ids)
+        "theécat",       # non-ascii codepoint
+        "cat" * 50,           # long input
+        "  spaced   out  ",
+    ]
+    for text in cases:
+        native = tok.tokenize(text, prepend_bos=False, append_eos=False,
+                              pad=False)
+        tok_py = _force_py(
+            SentencePieceUnigramTokenizer.from_file(spm_model, max_length=64))
+        py = tok_py.tokenize(text, prepend_bos=False, append_eos=False,
+                             pad=False)
+        assert native == py, (text, native, py)
+
+
+def test_spm_native_byte_fallback_matches_python():
+    """Byte-fallback path: unknown codepoints must emit the same byte-piece
+    ids from both engines (incl. multi-byte UTF-8)."""
+    import pathlib
+
+    model = pathlib.Path(__file__).parent / "assets" / "spiece" / "byte_fallback.model"
+    tok = SentencePieceUnigramTokenizer.from_file(str(model), max_length=64)
+    if tok._native is None:
+        pytest.skip("native tokenizer lib not built")
+    tok_py = _force_py(
+        SentencePieceUnigramTokenizer.from_file(str(model), max_length=64))
+    for text in ["héllo", "日本語テスト", "a☃b", "mixed 日本 ascii"]:
+        native = tok.tokenize(text, prepend_bos=False, append_eos=False,
+                              pad=False)
+        py = tok_py.tokenize(text, prepend_bos=False, append_eos=False,
+                             pad=False)
+        assert native == py, (text, native, py)
