@@ -55,7 +55,12 @@ def _rope_in_kernel(x, cos_e, sin_e):
 # per-head K/V + 4 pair-expanded RoPE tables ≈ 22 MB at L=6144 — well under
 # VMEM, and skipping the running-softmax streaming loop is 17% faster for
 # the whole 1024² flux denoise (2.63 → 2.17 s measured).
-from ...runtime.config import flash_blk_k, flash_blk_q, flash_one_shot_max
+from ...runtime.config import (
+    attn_int8,
+    flash_blk_k,
+    flash_blk_q,
+    flash_one_shot_max,
+)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
@@ -95,10 +100,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     lse_ref[0] = m + jnp.log(denom)  # (BLK_Q, 1) logsumexp for the backward
 
 
+def _quant_rows(x):
+    """(N, D) f32 → int8 with per-row max-abs scales ((N, 1) f32)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-20) / 127.0
+    xi = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return xi, s
+
+
+def _quant_cols(x):
+    """(N, D) f32 → int8 with per-COLUMN max-abs scales ((1, D) f32)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=0, keepdims=True), 1e-20) / 127.0
+    xi = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return xi, s
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                   o_ref, lse_ref, m_scr, l_scr, acc_scr,
                   *, scale: float, l_actual: int, use_rope: bool, n_kb: int,
-                  blk_k: int):
+                  blk_k: int, int8_mxu: str = ""):
     """True blocked flash attention: grid (bh, q_blocks, k_blocks) with K/V
     STREAMED one (BLK_K, D) block per grid step — VMEM holds one q block,
     one k/v block, and the running (m, l, acc) state in scratch. Round-1's
@@ -128,9 +147,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
                              kcos_ref[0].astype(jnp.float32),
                              ksin_ref[0].astype(jnp.float32)).astype(dt)
 
-    s = jax.lax.dot_general(
-        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    if int8_mxu:
+        # int8 MXU feed ("qk" or "full"): per-row q/k scales factor out of
+        # the QK^T dot exactly (s_ij = sq_i · sk_j · Σ qi·ki). In "full"
+        # mode the softmax weights are additionally quantized per row
+        # against their in-block max (preserves relative precision of
+        # globally-small blocks) and V per COLUMN so its scale also factors
+        # out of the PV dot — ~2x the saving, ~2-4x the rounding error.
+        qi, sq = _quant_rows(q.astype(jnp.float32))
+        ki, sk = _quant_rows(ks.astype(jnp.float32))
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sq * scale) * sk.reshape(1, -1)
+    else:
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
     kidx = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kidx < l_actual, s, -jnp.inf)
 
@@ -140,10 +174,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     p = jnp.exp(s - m_new)
     m_scr[:] = m_new
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(dt), vs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if int8_mxu == "full":
+        sp = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-20) / 127.0
+        pi = jnp.round(p / sp).astype(jnp.int8)  # p ≥ 0 → no clip needed
+        vi, sv = _quant_cols(vs.astype(jnp.float32))
+        pv = jax.lax.dot_general(
+            pi, vi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sp * sv
+        acc_scr[:] = acc_scr[:] * alpha + pv
+    else:
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(dt), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kb == n_kb - 1)
     def _():
@@ -166,7 +210,8 @@ def _apply_rope_expanded(x, cos_e, sin_e):
 
 
 def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
-              use_rope, interpret, blk_k, one_shot_max, blk_q):
+              use_rope, interpret, blk_k, one_shot_max, blk_q,
+              int8_mxu=""):
     """Pallas forward over head-flattened padded arrays → (out, lse)."""
     n_q = l_pad // blk_q
     blk_tab = blk_q if use_rope else 1
@@ -216,7 +261,7 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
         blk_ktab = blk_k if use_rope else 1
         kernel = functools.partial(
             _flash_kernel, scale=scale, l_actual=l, use_rope=use_rope,
-            n_kb=n_kb, blk_k=blk_k,
+            n_kb=n_kb, blk_k=blk_k, int8_mxu=int8_mxu,
         )
         out, lse = pl.pallas_call(
             kernel,
@@ -396,27 +441,32 @@ def _bwd_core(qr, kr, vh, do, lse, dvec, *, scale, l, l_pad, b, h, d,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_core(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e):
+                one_shot_max, blk_q, int8_mxu, qh, kh, vh, cos_e, sin_e):
     out, _ = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                        l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
                        interpret=interpret, blk_k=blk_k,
-                       one_shot_max=one_shot_max, blk_q=blk_q)
+                       one_shot_max=one_shot_max, blk_q=blk_q,
+                       int8_mxu=int8_mxu)
     return out
 
 
 def _flash_core_fwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                    one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e):
+                    one_shot_max, blk_q, int8_mxu, qh, kh, vh, cos_e, sin_e):
+    # the backward stays bf16/f32 regardless of int8_mxu (the int8 feed is
+    # an inference datapath; grads from the full-precision math are the
+    # straight-through estimate)
     out, lse = _fwd_core(qh, kh, vh, cos_e, sin_e, scale=scale, l=l,
                          l_pad=l_pad, b=b, h=h, d=d, use_rope=use_rope,
                          interpret=interpret, blk_k=blk_k,
-                         one_shot_max=one_shot_max, blk_q=blk_q)
+                         one_shot_max=one_shot_max, blk_q=blk_q,
+                         int8_mxu=int8_mxu)
     return out, (qh, kh, vh, cos_e, sin_e, out, lse)
 
 
 def _flash_core_bwd(scale, l, l_pad, b, h, d, use_rope, interpret, blk_k,
-                    one_shot_max, blk_q, res, do):
+                    one_shot_max, blk_q, int8_mxu, res, do):
     qh, kh, vh, cos_e, sin_e, out, lse = res
 
     def per_head(x):
@@ -467,13 +517,15 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         blk_q = 1024 if q.shape[1] > one_shot_max else BLK_Q
     return _flash_attention_jit(q, k, v, cos, sin, scale=scale,
                                 interpret=interpret, blk_k=flash_blk_k(),
-                                one_shot_max=one_shot_max, blk_q=blk_q)
+                                one_shot_max=one_shot_max, blk_q=blk_q,
+                                int8_mxu=attn_int8())
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "blk_k",
-                                             "one_shot_max", "blk_q"))
+                                             "one_shot_max", "blk_q",
+                                             "int8_mxu"))
 def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
-                         one_shot_max, blk_q):
+                         one_shot_max, blk_q, int8_mxu=""):
     b, l, h, d = q.shape
     if scale is None:
         scale = d**-0.5
@@ -518,5 +570,7 @@ def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
         sin_e = jnp.zeros((b, 1, d), dtype)
 
     out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope, interpret,
-                      blk_k, one_shot_max, blk_q, qh, kh, vh, cos_e, sin_e)
+                      blk_k, one_shot_max, blk_q,
+                      int8_mxu if l_pad > one_shot_max else "",
+                      qh, kh, vh, cos_e, sin_e)
     return out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)

@@ -96,6 +96,35 @@ def flash_one_shot_max() -> int:
     return _knob("one_shot_max", "FGT_ONE_SHOT_MAX", 6144)
 
 
+def set_attn_int8(mode: str | None = None):
+    """Force the int8-MXU streamed-attention mode: "" (off), "qk", "full"
+    (None = back to FGT_ATTN_INT8 / default off)."""
+    if mode is not None and mode not in ("", "qk", "full"):
+        raise ValueError(f"attn_int8 mode must be ''|'qk'|'full', got {mode!r}")
+    _KNOBS["attn_int8"] = mode
+
+
+def attn_int8() -> str:
+    """int8 MXU feed for the STREAMED flash-attention path (int8xint8->int32
+    dots run 2x bf16 MXU throughput). "qk": only the QK^T logits dot —
+    per-row q/k max-abs scales factor out exactly; measured error budget
+    ~1.3% max / 0.13% mean vs f32 (the quality-safe tier). "full": also the
+    PV dot — softmax weights per-row-in-block int8, V per column; ~2-4x the
+    error (the p rounding dominates), 2x the attention saving. Attention is
+    ~33% of the 2048-sq flux step and the one datapath W8A8 leaves in bf16.
+    DEFAULT OFF pending the real-weight image-quality check (same gate as
+    FGT_W8A8); kernel-level budget in tests/test_attn_int8.py."""
+    v = _KNOBS.get("attn_int8")
+    if v is not None:
+        return v
+    env = os.environ.get("FGT_ATTN_INT8", "").lower()
+    if env in ("", "0", "off", "false", "no"):
+        return ""
+    if env in ("1", "on", "true", "yes", "qk"):
+        return "qk"
+    return "full" if env == "full" else ""
+
+
 def set_musicgen_loop(*, cache_chunk: int | None = None,
                       ar_unroll: int | None = None):
     """Override the MusicGen AR loop's chunked-cache window / scan unroll."""

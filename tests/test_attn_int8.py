@@ -1,0 +1,106 @@
+"""int8-MXU streamed flash attention (FGT_ATTN_INT8) quality budget.
+
+The streamed path can feed its MXU dots as int8xint8->int32 (2x bf16
+throughput on v5e) in two tiers: "qk" quantizes only the logits dot
+(per-row q/k max-abs scales factor out exactly — the quality-safe tier),
+"full" also quantizes the PV dot (softmax weights per-row-in-block, V per
+column). These tests bound the numerics in interpret mode; the knob stays
+default-off behind the same real-weight image gate as FGT_W8A8
+(tests/test_quant_quality.py). Measured here (1024 tokens, 256-blocks,
+unit-normal q/k/v): qk ~0.6% max / 0.05% mean; full ~2.7% max / 0.3% mean.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_generator_tpu.ops.attention import dot_product_attention
+from flux_generator_tpu.ops.pallas.flash_attention import flash_attention
+from flux_generator_tpu.runtime.config import set_attn_int8, set_flash_attention
+
+
+def _mk(l, b=1, h=2, d=64, seed=0, dtype=jnp.float32, scale=1.0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), dtype) * scale
+    k = jax.random.normal(ks[1], (b, l, h, d), dtype) * scale
+    v = jax.random.normal(ks[2], (b, l, h, d), dtype)
+    return q, k, v
+
+
+def _errs(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    den = max(np.abs(b).max(), 1e-9)
+    e = np.abs(a - b)
+    return float(e.max() / den), float(e.mean() / den)
+
+
+def _streamed(q, k, v, mode, cos=None, sin=None):
+    set_flash_attention(one_shot_max=256, blk_q=256, blk_k=256)
+    set_attn_int8(mode)
+    try:
+        return flash_attention(q, k, v, cos, sin, interpret=True)
+    finally:
+        set_attn_int8(None)
+        set_flash_attention()
+
+
+@pytest.mark.parametrize("mode,max_bound,mean_bound", [
+    ("qk", 1.5e-2, 1.5e-3),
+    ("full", 5e-2, 5e-3),
+])
+def test_int8_streamed_error_budget(mode, max_bound, mean_bound):
+    q, k, v = _mk(1024)
+    ref = dot_product_attention(q, k, v)
+    base = _streamed(q, k, v, "")
+    out8 = _streamed(q, k, v, mode)
+    e_base, _ = _errs(base, ref)
+    assert e_base < 5e-3, e_base
+    e_max, e_mean = _errs(out8, ref)
+    assert e_max < max_bound, (mode, e_max)
+    assert e_mean < mean_bound, (mode, e_mean)
+    # the knob is live (numerics actually change)
+    assert _errs(out8, base)[0] > 1e-6
+
+
+def test_int8_diffuse_attention_not_collapsed():
+    """Near-uniform attention (small logits) is the worst case for weight
+    quantization: per-row in-block scaling must keep the output a true
+    average, not a hard max."""
+    l = 768
+    q, k, v = _mk(l, h=1, seed=7, scale=0.1)
+    ref = dot_product_attention(q, k, v)
+    out8 = _streamed(q, k, v, "full")
+    err = float(np.abs(np.asarray(out8) - np.asarray(ref)).max())
+    assert err < 2.5e-2 * float(np.abs(np.asarray(v)).max()), err
+
+
+def test_int8_does_not_touch_one_shot_path():
+    """Below ONE_SHOT_MAX the knob is inert: short sequences keep the
+    bit-exact bf16/f32 single-tile path."""
+    q, k, v = _mk(512, seed=3)
+    base = flash_attention(q, k, v, interpret=True)
+    set_attn_int8("full")
+    try:
+        out = flash_attention(q, k, v, interpret=True)
+    finally:
+        set_attn_int8(None)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+@pytest.mark.parametrize("mode", ["qk", "full"])
+def test_int8_with_rope_prerotation(mode):
+    """The streamed path pre-rotates q/k in HBM before the kernel; int8
+    quantization composes with RoPE (2048²-geometry miniature)."""
+    from flux_generator_tpu.ops.rope import rope_cos_sin
+
+    l, d = 1024, 64
+    q, k, v = _mk(l, d=d, seed=11)
+    pos = jnp.arange(l)[None].astype(jnp.float32)
+    cos, sin = rope_cos_sin(pos, d, theta=10000.0)
+    ref = flash_attention(q, k, v, cos, sin, interpret=True)  # bf16/f32 path
+    out8 = _streamed(q, k, v, mode, cos, sin)
+    assert _errs(out8, ref)[0] < 5e-2
