@@ -64,7 +64,8 @@ from ...runtime.config import (
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
-                 o_ref, lse_ref, *, scale: float, l_actual: int, use_rope: bool):
+                 o_ref, lse_ref, *, scale: float, l_actual: int, use_rope: bool,
+                 int8_mxu: str = ""):
     # MXU feed stays in the INPUT dtype (bf16 matmuls run 2x f32 on the MXU;
     # accumulation is f32 via preferred_element_type); rotation and softmax
     # math stay f32. For f32 inputs this is bit-identical to the all-f32 form.
@@ -83,19 +84,39 @@ def _attn_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
         k = _rope_in_kernel(k.astype(jnp.float32),
                             kcos_ref[0].astype(jnp.float32),
                             ksin_ref[0].astype(jnp.float32)).astype(dt)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    if int8_mxu:
+        # same int8-MXU tiers as the streamed kernel (see _flash_kernel):
+        # per-row q/k scales factor out of QK^T exactly
+        qi, sq = _quant_rows(q.astype(jnp.float32))
+        ki, sk = _quant_rows(k.astype(jnp.float32))
+        s = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sq * scale) * sk.reshape(1, -1)
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
     if l_actual < l_total:  # mask key padding
         kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(kidx < l_actual, s, -jnp.inf)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(dt), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / denom
+    if int8_mxu == "full":
+        # p rows peak at exactly 1 (the max logit position), so the per-row
+        # scale is the constant 1/127; V quantized per column as streamed
+        pi = jnp.round(p * 127.0).astype(jnp.int8)
+        vi, sv = _quant_cols(v.astype(jnp.float32))
+        o = jax.lax.dot_general(
+            pi, vi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sv / 127.0) / denom
+    else:
+        o = jax.lax.dot_general(
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(denom)  # (BLK_Q, 1) logsumexp for the backward
 
@@ -227,7 +248,8 @@ def _fwd_core(qh, kh, vh, cos_e, sin_e, *, scale, l, l_pad, b, h, d,
 
     if l_pad <= one_shot_max:
         kernel = functools.partial(
-            _attn_kernel, scale=scale, l_actual=l, use_rope=use_rope
+            _attn_kernel, scale=scale, l_actual=l, use_rope=use_rope,
+            int8_mxu=int8_mxu,
         )
         out, lse = pl.pallas_call(
             kernel,
@@ -570,7 +592,6 @@ def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
         sin_e = jnp.zeros((b, 1, d), dtype)
 
     out = _flash_core(float(scale), l, l_pad, b, h, d, use_rope, interpret,
-                      blk_k, one_shot_max, blk_q,
-                      int8_mxu if l_pad > one_shot_max else "",
+                      blk_k, one_shot_max, blk_q, int8_mxu,
                       qh, kh, vh, cos_e, sin_e)
     return out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)

@@ -97,7 +97,7 @@ def flash_one_shot_max() -> int:
 
 
 def set_attn_int8(mode: str | None = None):
-    """Force the int8-MXU streamed-attention mode: "" (off), "qk", "full"
+    """Force the int8-MXU attention mode: "" (off), "qk", "full"
     (None = back to FGT_ATTN_INT8 / default off)."""
     if mode is not None and mode not in ("", "qk", "full"):
         raise ValueError(f"attn_int8 mode must be ''|'qk'|'full', got {mode!r}")
@@ -105,7 +105,8 @@ def set_attn_int8(mode: str | None = None):
 
 
 def attn_int8() -> str:
-    """int8 MXU feed for the STREAMED flash-attention path (int8xint8->int32
+    """int8 MXU feed for the flash-attention kernels — BOTH paths, one-shot
+    (≤ ONE_SHOT_MAX, e.g. 1024² flux) and streamed (int8xint8->int32
     dots run 2x bf16 MXU throughput). "qk": only the QK^T logits dot —
     per-row q/k max-abs scales factor out exactly; measured error budget
     ~1.3% max / 0.13% mean vs f32 (the quality-safe tier). "full": also the

@@ -1,7 +1,8 @@
-"""int8-MXU streamed flash attention (FGT_ATTN_INT8) quality budget.
+"""int8-MXU flash attention (FGT_ATTN_INT8) quality budget.
 
-The streamed path can feed its MXU dots as int8xint8->int32 (2x bf16
-throughput on v5e) in two tiers: "qk" quantizes only the logits dot
+Both kernel paths (one-shot and streamed) can feed their MXU dots as
+int8xint8->int32 (2x bf16 throughput on v5e) in two tiers: "qk" quantizes
+only the logits dot
 (per-row q/k max-abs scales factor out exactly — the quality-safe tier),
 "full" also quantizes the PV dot (softmax weights per-row-in-block, V per
 column). These tests bound the numerics in interpret mode; the knob stays
@@ -78,17 +79,54 @@ def test_int8_diffuse_attention_not_collapsed():
     assert err < 2.5e-2 * float(np.abs(np.asarray(v)).max()), err
 
 
-def test_int8_does_not_touch_one_shot_path():
-    """Below ONE_SHOT_MAX the knob is inert: short sequences keep the
-    bit-exact bf16/f32 single-tile path."""
+def test_int8_off_is_bit_exact_one_shot():
+    """Default-off means the one-shot path keeps the bit-exact bf16/f32
+    single-tile math."""
     q, k, v = _mk(512, seed=3)
     base = flash_attention(q, k, v, interpret=True)
-    set_attn_int8("full")
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+@pytest.mark.parametrize("mode,max_bound,mean_bound", [
+    ("qk", 1.5e-2, 1.5e-3),
+    ("full", 5e-2, 5e-3),
+])
+def test_int8_one_shot_error_budget(mode, max_bound, mean_bound):
+    """The tiers also apply on the one-shot path (≤ ONE_SHOT_MAX), so an
+    opted-in 1024²-class geometry gets the int8 dots too. Same budget as
+    streamed; the 'full' tier's p-scale is the exact constant 1/127 here
+    (single softmax ⇒ every row peaks at 1)."""
+    q, k, v = _mk(512, seed=3)
+    ref = dot_product_attention(q, k, v)
+    set_attn_int8(mode)
     try:
-        out = flash_attention(q, k, v, interpret=True)
+        out8 = flash_attention(q, k, v, interpret=True)  # one-shot path
     finally:
         set_attn_int8(None)
-    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    e_max, e_mean = _errs(out8, ref)
+    assert e_max < max_bound, (mode, e_max)
+    assert e_mean < mean_bound, (mode, e_mean)
+    base = flash_attention(q, k, v, interpret=True)
+    assert _errs(out8, base)[0] > 1e-6  # knob is live
+
+
+def test_int8_one_shot_with_fused_rope():
+    """One-shot keeps the in-kernel (fused) rotation; int8 quantization
+    happens on the rotated q/k and composes with it."""
+    from flux_generator_tpu.ops.rope import rope_cos_sin
+
+    l, d = 384, 64
+    q, k, v = _mk(l, d=d, seed=13)
+    pos = jnp.arange(l)[None].astype(jnp.float32)
+    cos, sin = rope_cos_sin(pos, d, theta=10000.0)
+    ref = flash_attention(q, k, v, cos, sin, interpret=True)
+    set_attn_int8("qk")
+    try:
+        out8 = flash_attention(q, k, v, cos, sin, interpret=True)
+    finally:
+        set_attn_int8(None)
+    assert _errs(out8, ref)[0] < 1.5e-2
 
 
 @pytest.mark.parametrize("mode", ["qk", "full"])
