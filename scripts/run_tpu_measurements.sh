@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# One-command TPU measurement queue for the open round-3 items. Runs each
+# measurement SEQUENTIALLY (never two TPU clients at once — the axon relay
+# wedges) and logs to $OUT (default /tmp/tpum). Re-runnable: each stage
+# skips itself if its log already ends with DONE.
+#
+# Stages:
+#   1. musicgen fused-decode remeasure (v1/v2/xla at windows 256/512/1504,
+#      one-jit chain timing) -> decides the FGT_MG_FUSED default
+#   2. 1024-sq flux batch scaling (batch 1/2/4) -> decides whether the
+#      server coalescer should batch at 1024
+#   3. 2048-sq flux with int8 attention tiers (qk/full, on top of W8A8)
+#   4. headline bench refresh (512-sq e2e) + musicgen e2e with fused kernel
+set -u
+OUT="${OUT:-/tmp/tpum}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run_stage() { # name timeout_s cmd...
+  local name="$1" t="$2"; shift 2
+  local log="$OUT/$name.log"
+  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE"; then
+    echo "[skip] $name (already DONE)"; return 0
+  fi
+  echo "[run ] $name -> $log"
+  { echo "# $(date -u +%FT%TZ) $*"; timeout "$t" "$@"; rc=$?;
+    echo; echo "DONE rc=$rc"; } >"$log" 2>&1
+}
+
+# 1. MusicGen fused decode kernel: the only trustworthy numbers come from
+#    the one-jit chain profiler (per-step dispatch through the tunnel is
+#    ~4-5 ms of noise). Matrix mode: all windows/impls in ONE process.
+run_stage mg_fused 3600 python scripts/prof_fused_decode.py \
+  --window 256,512,1504 --impl v1,v2 --mode both --steps 50
+
+# 2. 1024-sq batch scaling (denoise config isolates the flow).
+for b in 1 2 4; do
+  run_stage "flux1024_b$b" 3000 python bench.py --config flux-denoise --size 1024 --batch "$b"
+done
+
+# 3. 2048-sq with the int8 attention tiers (attention is ~4.8 s of the
+#    13.4 s W8A8 denoise; int8 dots run 2x bf16 MXU throughput).
+run_stage flux2048_w8a8 3600 env FGT_W8A8=1 python bench.py --config flux-denoise --size 2048
+run_stage flux2048_qk   3600 env FGT_W8A8=1 FGT_ATTN_INT8=qk   python bench.py --config flux-denoise --size 2048
+run_stage flux2048_full 3600 env FGT_W8A8=1 FGT_ATTN_INT8=full python bench.py --config flux-denoise --size 2048
+
+# 4. Headline refresh + musicgen e2e with the fused megakernel.
+run_stage headline 3600 python bench.py
+run_stage mg_e2e_fused 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e
+
+echo "all stages complete; logs in $OUT"
