@@ -111,6 +111,22 @@ def test_int8_one_shot_error_budget(mode, max_bound, mean_bound):
     assert _errs(out8, base)[0] > 1e-6  # knob is live
 
 
+@pytest.mark.parametrize("mode", ["qk", "full"])
+def test_int8_one_shot_with_padding(mode):
+    """Non-block-multiple lengths pad K with zero rows; the zero-row
+    quantization scale floor (1e-20) must not poison the masked logits."""
+    q, k, v = _mk(300, seed=5)  # pads to 512 at BLK_Q=256
+    ref = dot_product_attention(q, k, v)
+    set_attn_int8(mode)
+    try:
+        out8 = flash_attention(q, k, v, interpret=True)
+    finally:
+        set_attn_int8(None)
+    assert out8.shape == ref.shape
+    e_max, _ = _errs(out8, ref)
+    assert e_max < 5e-2, (mode, e_max)
+
+
 def test_int8_one_shot_with_fused_rope():
     """One-shot keeps the in-kernel (fused) rotation; int8 quantization
     happens on the rotated q/k and composes with it."""
