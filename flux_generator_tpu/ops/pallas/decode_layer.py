@@ -25,9 +25,10 @@ all 48 decoder layers of a single AR step, including both attentions:
 
   - x and all intermediates persist in VMEM scratch across grid steps; the
     automatic pipeline double-buffers the 2.36 MB weight-chunk fetches.
-  - k_new/v_new rows are DMA'd into the HBM caches at `offset` (caches are
-    aliased in/out), issued at c2 and waited at c13 — 11 grid steps of
-    overlap, no cross-layer semaphore reuse.
+  - k_new/v_new rows come OUT of the kernel as (L, B, H) constant-index
+    outputs (one copy-out at the end of the grid); the caller inserts them
+    into the HBM caches with one XLA dynamic_update_slice per cache — the
+    kernel itself never writes HBM.
   - Self-attention streams the cache window in CHUNK-row blocks with a
     running (flash) softmax, seeded by the current token so fully-masked
     blocks cannot poison the running max.
@@ -320,8 +321,15 @@ def _kernel(
                 p = jnp.exp(lo - m_new)                   # (C, nh)
                 r = jnp.exp(m_[b] - m_new)                # (1, nh)
                 l_[b] = l_[b] * r + jnp.sum(p, axis=0, keepdims=True)
+                # zero dead V rows: when window % chunk != 0 the tail of
+                # the last chunk's scratch is never DMA'd, and p == 0
+                # would still poison the sum via 0 * garbage(NaN)
+                live = jax.lax.broadcasted_iota(
+                    jnp.int32, vc.shape, 0) + j * chunk < off
+                vz = jnp.where(live, vc.astype(jnp.float32), 0.0
+                               ).astype(jnp.bfloat16)
                 pv = jnp.sum(
-                    head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                    head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
                     axis=0, keepdims=True,
                 ).astype(jnp.float32)
                 a_[b] = a_[b] * head_expand(r, seg_t) + pv

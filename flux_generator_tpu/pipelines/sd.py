@@ -129,12 +129,31 @@ class StableDiffusion:
 
     # -------------------------------------------------- conditioning
 
-    def _tokenize(self, tokenizer, text: str, negative_text: Optional[str] = None):
+    def _pad_rows(self, rows, tokenizer, cfg=None):
+        """Pad token rows to the model's FIXED max_length so the
+        conditioning sequence length never depends on the prompt — or, in
+        the coalesced path, on co-batched users' prompts. Solo and
+        coalesced runs therefore see identical cross-attention keys, and
+        the UNet denoise program compiles once instead of once per prompt
+        length. Rows longer than the position table are truncated with EOS
+        re-forced (CLIP pools at the EOS position)."""
+        n = (cfg or self.clip_cfgs[0]).max_length
+        eos = getattr(tokenizer, "eos_token", None)
+        out = []
+        for r in rows:
+            if len(r) > n:
+                r = r[:n]
+                if eos is not None:
+                    r[-1] = eos
+            out.append(r + [0] * (n - len(r)))
+        return jnp.array(out)
+
+    def _tokenize(self, tokenizer, text: str, negative_text: Optional[str] = None,
+                  cfg=None):
         rows = [tokenizer.tokenize(text)]
         if negative_text is not None:
             rows.append(tokenizer.tokenize(negative_text))
-        n = max(len(r) for r in rows)
-        return jnp.array([r + [0] * (n - len(r)) for r in rows])
+        return self._pad_rows(rows, tokenizer, cfg)
 
     def _text_encode_impl(self, clip_params, tokens):
         return clip_text_forward(clip_params, self.clip_cfgs[0], tokens)[
@@ -237,14 +256,14 @@ class StableDiffusion:
 
     # ------------------------------------------- batched multi-prompt path
 
-    def _batch_tokens(self, tokenizer, texts, negative_text, cfg_on):
-        """(text rows..., then negative rows when CFG) padded to one length
-        — the CFG double-batch layout _eps expects (eps_text | eps_neg)."""
+    def _batch_tokens(self, tokenizer, texts, negative_text, cfg_on, cfg=None):
+        """(text rows..., then negative rows when CFG) padded to the model's
+        fixed max_length — the CFG double-batch layout _eps expects
+        (eps_text | eps_neg), with conditioning identical to solo runs."""
         rows = [tokenizer.tokenize(t) for t in texts]
         if cfg_on:
             rows += [tokenizer.tokenize(negative_text)] * len(texts)
-        n = max(len(r) for r in rows)
-        return jnp.array([r + [0] * (n - len(r)) for r in rows])
+        return self._pad_rows(rows, tokenizer, cfg)
 
     def _batch_conditioning(self, texts, cfg_weight, negative_text):
         tokens = self._batch_tokens(
@@ -371,10 +390,10 @@ class StableDiffusionXL(StableDiffusion):
 
     def get_text_conditioning(self, text, n_images=1, cfg_weight=7.5, negative_text=""):
         neg = negative_text if cfg_weight > 1 else None
-        toks1 = self._tokenize(self.tokenizers[0], text, neg)
+        toks1 = self._tokenize(self.tokenizers[0], text, neg, cfg=self.clip_cfgs[0])
         toks2 = self._tokenize(
             self.tokenizers[1] if len(self.tokenizers) > 1 else self.tokenizers[0],
-            text, neg,
+            text, neg, cfg=self.clip_cfgs[1],
         )
         out1 = clip_text_forward(self.params["clip"], self.clip_cfgs[0], toks1)
         out2 = clip_text_forward(self.params["clip_2"], self.clip_cfgs[1], toks2)
@@ -389,10 +408,11 @@ class StableDiffusionXL(StableDiffusion):
 
     def _batch_conditioning(self, texts, cfg_weight, negative_text):
         cfg_on = cfg_weight > 1
-        toks1 = self._batch_tokens(self.tokenizers[0], texts, negative_text, cfg_on)
+        toks1 = self._batch_tokens(self.tokenizers[0], texts, negative_text,
+                                   cfg_on, cfg=self.clip_cfgs[0])
         toks2 = self._batch_tokens(
             self.tokenizers[1] if len(self.tokenizers) > 1 else self.tokenizers[0],
-            texts, negative_text, cfg_on,
+            texts, negative_text, cfg_on, cfg=self.clip_cfgs[1],
         )
         out1 = clip_text_forward(self.params["clip"], self.clip_cfgs[0], toks1)
         out2 = clip_text_forward(self.params["clip_2"], self.clip_cfgs[1], toks2)

@@ -197,6 +197,12 @@ class FluxAPI:
         reloads on a 16 GB chip."""
         if model.startswith("stabilityai/"):
             if self.sd_pipeline is None or self.current_sd_model != model:
+                if self.sd_pipeline is not None:
+                    # drop the old model BEFORE planning: plan() treats the
+                    # slot as free, and keeping the old pipeline alive
+                    # through from_pretrained would double-count HBM
+                    # mid-load (OOM on a same-slot 12B switch)
+                    self._evict_slot("sd")
                 policy = self._plan_load("sd", model)
                 if self._sd_factory is not None:
                     self.sd_pipeline = self._sd_factory(model)
@@ -213,6 +219,8 @@ class FluxAPI:
             return self.sd_pipeline
         flux_model = model if model.startswith("flux-") else f"flux-{model}"
         if self.pipeline is None or self.current_flux_model != flux_model:
+            if self.pipeline is not None:
+                self._evict_slot("flux")  # see the sd branch above
             policy = self._plan_load("flux", flux_model)
             if self._pipeline_factory is not None:
                 self.pipeline = self._pipeline_factory(flux_model)
@@ -266,9 +274,12 @@ class FluxAPI:
             steps = steps or (50 if model in ("flux-dev", "dev") else 2)
             model = model if model.startswith("flux-") else f"flux-{model}"
         key = (model, width, height, steps, float(guidance), negative)
-        if seed is None and n_images > 1:
-            # distinct per-image noise even without a user seed (seed+j
-            # below would otherwise collapse every image to the same prior)
+        if seed is None:
+            # A1111 seed=-1 semantics: a fresh random seed per request. The
+            # batched pipelines map seed=None to a FIXED key, so leaving it
+            # unset would make every seedless request deterministic (and
+            # with n_images > 1 would collapse every image to the same
+            # prior via seed+j below).
             import random as _random
 
             seed = _random.randrange(1 << 30)
@@ -331,9 +342,16 @@ class FluxAPI:
             self.progress.start(f"txt2img:{model} (batch {n})", steps + n)
             preview_every = max(1, steps // 4) if steps > 4 else 0
             if hasattr(pipeline, "generate_latents_batch"):
+                # pad the group up to a compiled bucket size so arbitrary
+                # coalesce counts reuse a handful of executables (same as
+                # the flux side — a fresh batch dim means a full UNet
+                # recompile in the request path otherwise)
+                bucket = next((b for b in self.coalesce_buckets if b >= n), n)
+                texts = [it["prompt"] for it in items] + \
+                        [items[-1]["prompt"]] * (bucket - n)
+                seeds = [it["seed"] for it in items] + [0] * (bucket - n)
                 gen = pipeline.generate_latents_batch(
-                    [it["prompt"] for it in items],
-                    [it["seed"] for it in items],
+                    texts, seeds,
                     num_steps=steps, cfg_weight=guidance,
                     negative_text=negative, latent_size=latent_size,
                 )

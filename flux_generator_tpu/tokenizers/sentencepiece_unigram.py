@@ -223,7 +223,12 @@ class SentencePieceUnigramTokenizer:
     def _segment(self, text: str) -> list:
         """Unigram Viterbi over the normalized string → piece ids."""
         if self._native is not None:
-            return self._native.segment(text)
+            try:
+                return self._native.segment(text)
+            except ValueError:
+                # >4096 pieces: fall through to the unbounded Python
+                # Viterbi instead of failing the request
+                pass
         return self._segment_py(text)
 
     def _segment_py(self, text: str) -> list:

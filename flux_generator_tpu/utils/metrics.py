@@ -70,8 +70,11 @@ def ssim(a, b, data_range: float = 1.0, win_size: int = 11,
     a, b = _to_float(a), _to_float(b)
     if a.ndim == 2:
         a, b = a[..., None], b[..., None]
-    if min(a.shape[0], a.shape[1]) < win_size:
-        win_size = min(a.shape[0], a.shape[1]) | 1  # odd
+    m = min(a.shape[0], a.shape[1])
+    if m < win_size:
+        # largest odd window that still FITS: `m | 1` would round an even
+        # dim UP past the image (8 -> 9 -> empty correlation -> NaN)
+        win_size = max(1, (m - 1) | 1 if m % 2 == 0 else m)
     win = _gaussian_window(win_size, sigma)
 
     c1 = (0.01 * data_range) ** 2

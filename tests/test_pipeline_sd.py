@@ -106,9 +106,11 @@ def test_sd_decode_u8_matches_host_conversion(sd):
 
 def test_sd_batch_matches_singles(sd):
     """generate_latents_batch (the serving coalescer's entry) must give each
-    prompt/seed pair the same result it gets alone (Euler is deterministic;
-    prompts with equal token counts so CLIP padding lengths agree)."""
-    texts = ["a cat", "a dog"]
+    prompt/seed pair the same result it gets alone (Euler is deterministic).
+    Prompts of DIFFERENT token counts: all paths pad conditioning to the
+    model's fixed max_length, so co-batched users' prompt lengths cannot
+    change an item's cross-attention keys."""
+    texts = ["a cat", "a very fluffy dog wearing a tiny red hat"]
     seeds = [3, 9]
     batch = None
     for batch in sd.generate_latents_batch(texts, seeds, num_steps=2,

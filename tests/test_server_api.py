@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from flux_generator_tpu.server.api import FluxAPI, to_latent_size
+from flux_generator_tpu.server.schemas import SDAPIRequest
 from flux_generator_tpu.server.app import check_port_available, find_available_port
 from flux_generator_tpu.server.httpd import Server
 from flux_generator_tpu.server.schemas import SDAPIRequest
@@ -254,3 +255,25 @@ def test_oversize_request_rejected(server):
     except urllib.error.HTTPError as e:
         assert e.code == 422
         assert "exceeds" in json.loads(e.read())["detail"]
+
+
+def test_seedless_requests_get_fresh_random_seeds():
+    """A1111 seed=-1 semantics: every seedless request must reach the
+    pipeline with a fresh CONCRETE seed — the batched pipelines map
+    seed=None to a fixed key, which would make seedless generation
+    deterministic across requests."""
+    seen = []
+
+    class _Recorder(_MockFluxPipeline):
+        def generate_latents(self, text, seed=None, **kw):
+            seen.append(seed)
+            return super().generate_latents(text, seed=seed, **kw)
+
+    api = FluxAPI(pipeline_factory=lambda name: _Recorder(),
+                  sd_factory=lambda name: _MockSDPipeline())
+    for _ in range(2):
+        api.txt2img(SDAPIRequest(prompt="x", model="flux-schnell",
+                                 width=64, height=64, steps=1))
+    assert len(seen) == 2
+    assert all(s is not None for s in seen), seen
+    assert seen[0] != seen[1], seen
