@@ -44,6 +44,10 @@ run_stage flux2048_w8a8 3600 env FGT_W8A8=1 python bench.py --config flux-denois
 run_stage flux2048_qk   3600 env FGT_W8A8=1 FGT_ATTN_INT8=qk   python bench.py --config flux-denoise --size 2048
 run_stage flux2048_full 3600 env FGT_W8A8=1 FGT_ATTN_INT8=full python bench.py --config flux-denoise --size 2048
 
+# 3b. Conditioning-phase breakdown (0.26 s of the 0.58 s headline is
+#     conditioning — ~10x its bandwidth/compute floor; find where it goes).
+run_stage conditioning 3600 python scripts/prof_conditioning.py
+
 # 4. Headline refresh + musicgen e2e with the fused megakernel.
 run_stage headline 3600 python bench.py
 run_stage mg_e2e_fused 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e

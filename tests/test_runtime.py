@@ -38,3 +38,30 @@ def test_device_memory_stats_keys():
     stats = device_memory_stats()
     # axon fallback adds is_resident_lower_bound when memory_stats is absent
     assert {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"} <= set(stats)
+
+
+def test_no_import_time_env_reads_in_ops():
+    """Config hygiene (VERDICT r2 #9): every knob in ops/ must be read at
+    CALL time through runtime.config (per-call overridable, live-server
+    safe). An `os.environ` read at module scope freezes the knob at import
+    and silently ignores later changes."""
+    import ast
+    from pathlib import Path
+
+    ops = Path(__file__).parents[1] / "flux_generator_tpu" / "ops"
+    offenders = []
+    for py in ops.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        # walk module-level statements only (function bodies are fine)
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for child in ast.walk(node):
+                    child._inside_fn = True  # noqa: SLF001
+        for node in ast.walk(tree):
+            if getattr(node, "_inside_fn", False):
+                continue
+            if (isinstance(node, ast.Attribute) and node.attr == "environ"
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == "os"):
+                offenders.append(f"{py.name}:{node.lineno}")
+    assert not offenders, f"import-time os.environ reads in ops/: {offenders}"
