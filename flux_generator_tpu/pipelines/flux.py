@@ -99,16 +99,20 @@ class FluxPipeline:
         self._e2e = jax.jit(self._e2e_impl, static_argnums=(4, 5, 6))
         self._decode = jax.jit(self._decode_impl, static_argnums=(2, 3, 4))
         def _encode_impl(p, x):
-            # large img2img inputs: tiled encode (same memory bound as the
-            # tiled decode; latent means blend across overlaps)
-            if max(x.shape[1], x.shape[2]) > 1024:
-                from ..ops.tiling import tiled_decode_2d
+            from ..ops.tiling import batched_apply, tiled_decode_2d
 
-                return tiled_decode_2d(
-                    lambda xt: ae_mod.encode(p["ae"], self.ae_cfg, xt),
-                    x, tile=768, overlap=128, factor=1 / self.ae_downsample,
-                )
-            return ae_mod.encode(p["ae"], self.ae_cfg, x)
+            def one(xi):
+                # large img2img inputs: tiled encode (same memory bound as
+                # the tiled decode; latent means blend across overlaps)
+                if max(xi.shape[1], xi.shape[2]) > 1024:
+                    return tiled_decode_2d(
+                        lambda xt: ae_mod.encode(p["ae"], self.ae_cfg, xt),
+                        xi, tile=768, overlap=128,
+                        factor=1 / self.ae_downsample,
+                    )
+                return ae_mod.encode(p["ae"], self.ae_cfg, xi)
+
+            return batched_apply(one, x, pixel_limit=1024 * 1024)
 
         self._encode_image = jax.jit(_encode_impl)
 
@@ -410,13 +414,20 @@ class FluxPipeline:
 
     def _decode_impl(self, ae_params, x, h: int, w: int, as_uint8: bool = False):
         z = unpack_latents(x, h, w)
-        if max(h, w) > 128:
-            # beyond 1024² the full-image decoder's conv activations (>1 GB
-            # each) OOM next to the 12 GB flow — overlap-tiled decode bounds
-            # the footprint (models/flux/autoencoder.decode_tiled)
-            img = ae_mod.decode_tiled(ae_params, self.ae_cfg, z)
-        else:
-            img = ae_mod.decode(ae_params, self.ae_cfg, z)
+
+        def one(zi):
+            if max(h, w) > 128:
+                # beyond 1024² the full-image decoder's conv activations
+                # (>1 GB each) OOM next to the 12 GB flow — overlap-tiled
+                # decode bounds the footprint (autoencoder.decode_tiled)
+                return ae_mod.decode_tiled(ae_params, self.ae_cfg, zi)
+            return ae_mod.decode(ae_params, self.ae_cfg, zi)
+
+        # batch × resolution beyond one 1024² image: decode per image
+        # (ops/tiling.batched_apply) — batch 2 @1024² OOMs otherwise
+        from ..ops.tiling import batched_apply
+
+        img = batched_apply(one, z, pixel_limit=128 * 128)
         img = jnp.clip(img + 1, 0, 2) * 0.5
         if as_uint8:
             # on-device pixel quantization: the serving path needs uint8 for

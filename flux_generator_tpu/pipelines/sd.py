@@ -68,18 +68,22 @@ class StableDiffusion:
         self._denoise = jax.jit(self._denoise_impl, static_argnames=("cfg_on",))
         self._step = jax.jit(self._step_impl, static_argnames=("cfg_on",))
         def _vae_decode(p, z):
-            # beyond 1024² the full-image decoder's conv activations OOM —
-            # overlap-tiled decode bounds the footprint (ops/tiling)
-            if max(z.shape[1], z.shape[2]) > 128:
-                from ..ops.tiling import tiled_decode_2d
+            from ..ops.tiling import batched_apply, tiled_decode_2d
 
-                factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
-                img = tiled_decode_2d(
-                    lambda zt: sd_vae_decode(p, self.ae_cfg, zt),
-                    z, tile=96, overlap=16, factor=factor,
-                )
-            else:
-                img = sd_vae_decode(p, self.ae_cfg, z)
+            def one(zi):
+                # beyond 1024² the full-image decoder's conv activations OOM
+                # — overlap-tiled decode bounds the footprint (ops/tiling)
+                if max(zi.shape[1], zi.shape[2]) > 128:
+                    factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
+                    return tiled_decode_2d(
+                        lambda zt: sd_vae_decode(p, self.ae_cfg, zt),
+                        zi, tile=96, overlap=16, factor=factor,
+                    )
+                return sd_vae_decode(p, self.ae_cfg, zi)
+
+            # batch × resolution beyond one 1024² image: decode per image —
+            # batch 2 @1024² OOMs a 16 GB chip otherwise
+            img = batched_apply(one, z, pixel_limit=128 * 128)
             return jnp.clip(img / 2 + 0.5, 0, 1)
 
         self._decode = jax.jit(_vae_decode)
@@ -89,15 +93,18 @@ class StableDiffusion:
             lambda p, z: (_vae_decode(p, z).astype(jnp.float32) * 255).astype(jnp.uint8)
         )
         def _vae_encode(p, x):
-            if max(x.shape[1], x.shape[2]) > 1024:
-                from ..ops.tiling import tiled_decode_2d
+            from ..ops.tiling import batched_apply, tiled_decode_2d
 
-                factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
-                return tiled_decode_2d(
-                    lambda xt: sd_vae_encode(p, self.ae_cfg, xt)[0],
-                    x, tile=768, overlap=128, factor=1 / factor,
-                )
-            return sd_vae_encode(p, self.ae_cfg, x)[0]
+            def one(xi):
+                if max(xi.shape[1], xi.shape[2]) > 1024:
+                    factor = 2 ** (len(self.ae_cfg.block_out_channels) - 1)
+                    return tiled_decode_2d(
+                        lambda xt: sd_vae_encode(p, self.ae_cfg, xt)[0],
+                        xi, tile=768, overlap=128, factor=1 / factor,
+                    )
+                return sd_vae_encode(p, self.ae_cfg, xi)[0]
+
+            return batched_apply(one, x, pixel_limit=1024 * 1024)
 
         self._encode = jax.jit(_vae_encode)
 

@@ -19,7 +19,7 @@ cd "$(dirname "$0")/.."
 run_stage() { # name timeout_s cmd...
   local name="$1" t="$2"; shift 2
   local log="$OUT/$name.log"
-  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE"; then
+  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE rc=0"; then
     echo "[skip] $name (already DONE)"; return 0
   fi
   echo "[run ] $name -> $log"

@@ -225,3 +225,56 @@ def test_tiled_encode_fractional_factor():
     )
     assert out.shape == (1, 20 // f, 12 // f, cfg.z_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_apply_per_image_matches_batched():
+    """ops/tiling.batched_apply: above the pixel limit the per-image lax.map
+    path must be bit-identical to the plain batched call (the decoder has no
+    cross-batch ops), and below the limit the batched call is used as-is.
+    Guards the batch>=2 @1024x1024 decode OOM fix (bench flux-denoise
+    --size 1024 --batch 2 hit RESOURCE_EXHAUSTED in _decode_impl)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flux_generator_tpu.ops.tiling import batched_apply
+
+    calls = []
+
+    def fake_decode(z):
+        calls.append(z.shape)
+        return jnp.tanh(z) * 2.0 + jnp.arange(z.shape[1])[None, :, None, None]
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 8, 4))
+
+    # over the limit: sequential per-image path, same values
+    out_seq = batched_apply(fake_decode, z, pixel_limit=8 * 8)
+    np.testing.assert_array_equal(np.asarray(out_seq), np.asarray(fake_decode(z)))
+    assert (1, 8, 8, 4) in calls  # traced per-image
+
+    # under the limit: one plain batched call
+    calls.clear()
+    out_b = batched_apply(fake_decode, z, pixel_limit=3 * 8 * 8)
+    assert calls == [(3, 8, 8, 4)]
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(fake_decode(z)))
+
+
+def test_flux_decode_batched_path_matches_single():
+    """Pipeline-level guard: a batch-2 decode routed through the per-image
+    path equals two single-image decodes stacked (tiny geometry, limit forced
+    by monkeypatching is avoided — we call batched_apply semantics via the
+    pipeline's decode on shapes above/below never diverging)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flux_generator_tpu.pipelines.flux import FluxPipeline
+
+    pipe = FluxPipeline.random_init(tiny=True, dtype=jnp.float32)
+    h = w = 4
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (2, (h // 2) * (w // 2), pipe.ae_cfg.z_channels * 4), jnp.float32)
+    both = np.asarray(pipe.decode(x, (h, w)))
+    one0 = np.asarray(pipe.decode(x[:1], (h, w)))
+    one1 = np.asarray(pipe.decode(x[1:], (h, w)))
+    np.testing.assert_allclose(both[0], one0[0], atol=1e-5)
+    np.testing.assert_allclose(both[1], one1[0], atol=1e-5)
