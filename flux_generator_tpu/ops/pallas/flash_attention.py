@@ -537,10 +537,18 @@ def flash_attention(q, k, v, cos=None, sin=None, scale=None, interpret=False):
         # the one-shot grid is already small, and 256 keeps its
         # (BLK_Q, L) f32 logits tile comfortably in VMEM at L=6144
         blk_q = 1024 if q.shape[1] > one_shot_max else BLK_Q
+    int8_mxu = attn_int8()
+    if int8_mxu and _round_up(q.shape[1], blk_q) > one_shot_max:
+        # int8 MXU tiers are one-shot-path only: on the streamed path the
+        # per-K-block requantization + logit dequant inside the running
+        # softmax cost more VPU work than the int8 dots save (measured
+        # 2048² flux: qk 31.7 s / full 17.1 s vs 14.2 s bf16 dots —
+        # BENCH_RESULTS.md "int8 attention tiers" row).
+        int8_mxu = ""
     return _flash_attention_jit(q, k, v, cos, sin, scale=scale,
                                 interpret=interpret, blk_k=flash_blk_k(),
                                 one_shot_max=one_shot_max, blk_q=blk_q,
-                                int8_mxu=attn_int8())
+                                int8_mxu=int8_mxu)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "blk_k",

@@ -105,9 +105,13 @@ def set_attn_int8(mode: str | None = None):
 
 
 def attn_int8() -> str:
-    """int8 MXU feed for the flash-attention kernels — BOTH paths, one-shot
-    (≤ ONE_SHOT_MAX, e.g. 1024² flux) and streamed (int8xint8->int32
-    dots run 2x bf16 MXU throughput). "qk": only the QK^T logits dot —
+    """int8 MXU feed for the flash-attention kernels — ONE-SHOT path only
+    (≤ ONE_SHOT_MAX, e.g. 1024² flux; int8xint8->int32 dots run 2x bf16
+    MXU throughput). On the streamed path the wrapper ignores the knob:
+    measured 2048² regression (qk 31.7 s / full 17.1 s vs 14.2 s bf16 —
+    per-block requant + logit dequant outweigh the dot saving; the kernel
+    tier remains test-covered via _flash_attention_jit).
+    "qk": only the QK^T logits dot —
     per-row q/k max-abs scales factor out exactly; measured error budget
     ~1.3% max / 0.13% mean vs f32 (the quality-safe tier). "full": also the
     PV dot — softmax weights per-row-in-block int8, V per column; ~2-4x the
@@ -167,19 +171,26 @@ def set_musicgen_fused(enabled: bool | None = None):
 def musicgen_fused_step() -> bool:
     """Fused decode-step megakernel (ops/pallas/decode_layer.py): one
     pallas_call per AR step streams all layer weights as uniform (H, H)
-    chunks at ~93% of HBM bandwidth where the discrete-op XLA formulation
-    pays ~10 us per small matmul (BENCH_RESULTS "MusicGen AR floor").
-    DEFAULT OFF: first real-TPU measurement (scripts/prof_fused_decode.py)
-    has the megakernel at 7.6 ms/step vs 4.5 for the XLA loop — the
-    attention phases cost more than the chain saves (being profiled).
-    Opt in with FGT_MG_FUSED=1; generate() additionally requires a packable
-    weight layout (per-out-channel int8 or plain bf16, ffn = 4h) and falls
-    back to the XLA layer loop otherwise."""
+    chunks and folds the whole per-step dependent chain (projections,
+    attention, FFN) into one program. DEFAULT AUTO = ON for TPU backends:
+    measured END-TO-END in generate() it wins decisively — 6.98x vs 4.45x
+    realtime at 200 AR steps, 6.41x vs 3.74x at 1000 (the bare
+    static-window chain profiler says the opposite, 5.4 vs 1.1 ms/step,
+    because it times only the decode matmuls; the kernel's win is
+    eliminating the ~288 small-op dispatch chain around them — BENCH_RESULTS
+    "MusicGen decode megakernel"). generate() additionally requires a
+    packable weight layout (per-out-channel int8 or plain bf16, ffn = 4h)
+    and falls back to the XLA layer loop otherwise; CPU runs keep the XLA
+    loop (the kernel is interpret-mode tested)."""
     v = _KNOBS.get("mg_fused")
     if v is not None:
         return v
-    return os.environ.get("FGT_MG_FUSED", "0").lower() not in (
-        "0", "off", "false", "no", "auto")
+    v_env = os.environ.get("FGT_MG_FUSED", "auto").lower()
+    if v_env == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return v_env not in ("0", "off", "false", "no")
 
 
 def set_musicgen_fused_impl(impl: str | None = None):

@@ -40,13 +40,33 @@ def _errs(a, b):
 
 
 def _streamed(q, k, v, mode, cos=None, sin=None):
+    # Calls the jitted core directly: the public wrapper refuses int8 on
+    # the streamed path (measured regression at 16k tokens — see
+    # test_int8_streamed_guard), but the kernel tier stays quality-bounded
+    # here in case a future hardware generation flips the tradeoff.
+    from flux_generator_tpu.ops.pallas.flash_attention import (
+        _flash_attention_jit,
+    )
+
+    return _flash_attention_jit(q, k, v, cos, sin, scale=None,
+                                interpret=True, blk_k=256, one_shot_max=256,
+                                blk_q=256, int8_mxu=mode)
+
+
+def test_int8_streamed_guard():
+    """The public wrapper must IGNORE the int8 tiers once the call would
+    take the streamed path: measured 2048² flux regression (qk 31.7 s /
+    full 17.1 s vs 14.2 s bf16 dots, BENCH_RESULTS.md)."""
+    q, k, v = _mk(1024)
     set_flash_attention(one_shot_max=256, blk_q=256, blk_k=256)
-    set_attn_int8(mode)
     try:
-        return flash_attention(q, k, v, cos, sin, interpret=True)
+        base = flash_attention(q, k, v, interpret=True)
+        set_attn_int8("full")
+        out = flash_attention(q, k, v, interpret=True)
     finally:
         set_attn_int8(None)
         set_flash_attention()
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
 
 
 @pytest.mark.parametrize("mode,max_bound,mean_bound", [
