@@ -583,6 +583,7 @@ def main():
             import os
 
             return bench_musicgen_e2e(
+                max_steps=args.steps if args.steps != 4 else 200,
                 quantize=os.environ.get("FGT_QUANTIZE", "1") == "1",
                 bits=int(os.environ.get("FGT_QUANTIZE_BITS", "8")),
             )

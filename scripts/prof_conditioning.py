@@ -54,8 +54,12 @@ def main():
     toks = jnp.ones((1, 256), jnp.int32)
 
     if "fetch" in modes:
+        # time a FRESH output each call: repeated np.asarray on the same
+        # array reads its cached host copy (measures 0.0 ms — wrong floor)
         x = jnp.zeros((1, 256, 4096), jnp.bfloat16)
-        timed(lambda: np.asarray(x), label="bare fetch (1,256,4096) bf16")
+        g = jax.jit(lambda x: x + 1)
+        timed(lambda: np.asarray(g(x)),
+              label="dispatch+fetch floor (1,256,4096) bf16")
 
     if "clip" in modes:
         clip = _zeros_like_tree(jax.eval_shape(

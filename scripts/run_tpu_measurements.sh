@@ -52,4 +52,25 @@ run_stage conditioning 3600 python scripts/prof_conditioning.py
 run_stage headline 3600 python bench.py
 run_stage mg_e2e_fused 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e
 
+# 5. Conditioning deep-dive (T5-XXL 256-token encode is ~100-140 ms vs a
+#    ~13 ms compute floor; int4g128-Pallas measured SLOWER than int8
+#    weight-only). Which path/format is fastest at M=256?
+run_stage cond_int4_xla  3000 env FGT_PALLAS_INT4=0 python scripts/prof_conditioning.py --modes int4g128
+run_stage cond_int8_w8a8 3000 env FGT_W8A8=1 python scripts/prof_conditioning.py --modes int8
+run_stage cond_bf16      3000 python scripts/prof_conditioning.py --modes bf16
+run_stage t5_micro       3000 python scripts/prof_t5_micro.py
+
+# 6. MusicGen e2e WITHOUT the fused megakernel: the fixed one-jit chain
+#    profiler shows plain XLA decode at 1.14 ms/step (window 256) vs 5.4 ms
+#    for the megakernel — the 3.26/2.8 ms "fused wins" numbers were harness
+#    dispatch noise. Decide the default from e2e audio-sec/sec.
+run_stage mg_e2e_xla 3600 env FGT_QUANTIZE=1 python bench.py --config musicgen-e2e
+run_stage mg_e2e_xla_long 3600 env FGT_QUANTIZE=1 python bench.py --config musicgen-e2e --steps 1000
+# e2e decides the default (fused won at 200 steps: 6.98x vs 4.45x); check
+# long-form before flipping FGT_MG_FUSED on.
+run_stage mg_e2e_fused_long 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e --steps 1000
+# default-flag verification: no FGT_MG_FUSED in env — auto must pick the
+# fused kernel on TPU and reproduce the ~6.9x number.
+run_stage mg_e2e_default 3600 python bench.py --config musicgen-e2e
+
 echo "all stages complete; logs in $OUT"
