@@ -29,6 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK_Q = 256
+# beyond this padded length, RoPE is applied once in HBM instead of fused
+# in-kernel — even for one-shot calls (frees the K-table VMEM for the
+# logits tile; see the pre-rotation comment in _flash_attention_jit)
+_PREROTATE_MAX = 6144
 
 
 def _expand_pairs(t):
@@ -580,12 +584,16 @@ def _flash_attention_jit(q, k, v, cos, sin, *, scale, interpret, blk_k,
         if l_pad != l:
             cos_e = jnp.pad(cos_e, ((0, 0), (0, l_pad - l), (0, 0)))
             sin_e = jnp.pad(sin_e, ((0, 0), (0, l_pad - l), (0, 0)))
-        if l_pad > one_shot_max:
-            # streamed path: pre-rotate q/k ONCE in HBM. In-kernel rotation
-            # would re-load the k tables and re-rotate the SAME K block for
-            # every q block — n_q-fold redundant work at long lengths (16×
-            # at 16k tokens). The one-shot path keeps the fused rotation
-            # (each head reads K once there, and fusion avoids the HBM
+        if l_pad > min(one_shot_max, _PREROTATE_MAX):
+            # pre-rotate q/k ONCE in HBM for (a) the streamed path, where
+            # in-kernel rotation would re-load the k tables and re-rotate
+            # the SAME K block for every q block — n_q-fold redundant work
+            # at long lengths (16× at 16k tokens) — and (b) LONG one-shot
+            # calls (> _PREROTATE_MAX), where the full-length K rope tables
+            # would double-buffer ~17 MB of VMEM better spent on the logits
+            # tile (the rotated-copy HBM round-trip is ~0.25 ms at 16k —
+            # noise). Short one-shot calls keep the fused rotation (each
+            # head reads K once there, and fusion avoids the HBM
             # round-trip for rotated copies). Autodiff composes: the custom
             # VJP sees rotated inputs, jnp pre-rotation supplies the chain.
             ce = jnp.repeat(cos_e, h, axis=0)

@@ -37,8 +37,16 @@ import importlib
 # (ops/pallas/__init__.py); import_module gets the submodule itself
 fa = importlib.import_module("flux_generator_tpu.ops.pallas.flash_attention")
 fa.BLK_Q = blk_q
+one_shot = len(sys.argv) > 3 and sys.argv[3] == "oneshot"
 from flux_generator_tpu.runtime.config import set_flash_attention
-set_flash_attention(blk_k=blk_k, one_shot_max=1)  # force the streamed path
+if one_shot:
+    # force the ONE-SHOT path at full 2048-sq length: 16640 tokens pad to
+    # a blk_q multiple; q/k pre-rotated in HBM (_PREROTATE_MAX), so VMEM
+    # holds K/V (+dbuf) and the (blk_q, L) f32 logits tile
+    l_pad_os = ((16640 + blk_q - 1) // blk_q) * blk_q
+    set_flash_attention(blk_k=blk_k, one_shot_max=l_pad_os, blk_q=blk_q)
+else:
+    set_flash_attention(blk_k=blk_k, one_shot_max=1)  # force streamed
 
 from flux_generator_tpu.ops.rope import rope_cos_sin
 
@@ -71,10 +79,12 @@ print(json.dumps({
 """
 
 
-def run_one(blk_q: int, blk_k: int) -> dict:
+def run_one(blk_q: int, blk_k: int, one_shot: bool = False) -> dict:
+    argv = [sys.executable, "-c", CHILD, str(blk_q), str(blk_k)]
+    if one_shot:
+        argv.append("oneshot")
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD, str(blk_q), str(blk_k)],
-        capture_output=True, text=True, timeout=1800, cwd=ROOT,
+        argv, capture_output=True, text=True, timeout=1800, cwd=ROOT,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -87,18 +97,28 @@ def run_one(blk_q: int, blk_k: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", nargs=2, type=int, metavar=("BLK_Q", "BLK_K"))
+    ap.add_argument("--oneshot", action="store_true",
+                    help="whole-K one-shot kernel at 16640 tokens "
+                         "(pre-rotated q/k; BLK_K ignored)")
     args = ap.parse_args()
-    points = ([tuple(args.one)] if args.one else
-              [(256, 1024), (512, 1024), (512, 2048), (1024, 1024), (256, 2048)])
+    if args.one:
+        points = [tuple(args.one)]
+    elif args.oneshot:
+        points = [(256, 1024), (512, 1024)]
+    else:
+        points = [(256, 1024), (512, 1024), (512, 2048), (1024, 1024),
+                  (256, 2048)]
     # note: fetch overhead through the axon tunnel (~25-30 ms) is constant
     # across points — compare deltas, not absolutes
     for bq, bk in points:
         try:
-            r = run_one(bq, bk)
+            r = run_one(bq, bk, one_shot=args.oneshot)
         except RuntimeError as e:
             print(f"BLK_Q={bq} BLK_K={bk}: FAILED — {str(e)[:300]}")
             continue
-        print(f"BLK_Q={r['blk_q']:<5} BLK_K={r['blk_k']:<5} {r['ms']:8.2f} ms  "
+        mode = "one-shot" if args.oneshot else "streamed"
+        print(f"{mode} BLK_Q={r['blk_q']:<5} BLK_K={r['blk_k']:<5} "
+              f"{r['ms']:8.2f} ms  "
               f"(dma floor {r['dma_floor_ms']} ms, mxu floor {r['mxu_floor_ms']} ms, "
               f"{r['tflops_equiv']} TFLOP/s-equiv)")
 

@@ -77,6 +77,53 @@ def test_flash_streamed_with_rope():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_flash_one_shot_prerotated_rope(monkeypatch):
+    """LONG one-shot calls (l_pad > _PREROTATE_MAX) pre-rotate q/k in HBM
+    instead of loading full-length K rope tables into VMEM — the path the
+    2048² geometry takes when ONE_SHOT_MAX is raised to 16640."""
+    import importlib
+
+    # attribute access on the package gives the re-exported FUNCTION;
+    # import_module returns the submodule itself
+    fa = importlib.import_module(
+        "flux_generator_tpu.ops.pallas.flash_attention")
+    from flux_generator_tpu.runtime.config import set_flash_attention
+
+    monkeypatch.setattr(fa, "_PREROTATE_MAX", 256)
+    b, l, h, d = 1, 700, 2, 64  # pads to 768 > patched _PREROTATE_MAX
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d))
+    k = jax.random.normal(ks[1], (b, l, h, d))
+    v = jax.random.normal(ks[2], (b, l, h, d))
+    pos = jnp.broadcast_to(jnp.arange(l, dtype=jnp.float32), (b, l))
+    cos, sin = rope_cos_sin(pos, d)
+    ref = dot_product_attention(apply_rope(q, cos, sin),
+                                apply_rope(k, cos, sin), v)
+    set_flash_attention(one_shot_max=1024, blk_q=256)
+    try:
+        out = flash_attention(q, k, v, cos=cos, sin=sin, interpret=True)
+    finally:
+        set_flash_attention()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    # and the gradient path composes with the jnp pre-rotation chain
+    set_flash_attention(one_shot_max=1024, blk_q=256)
+
+    def loss(q):
+        return flash_attention(q, k, v, cos=cos, sin=sin,
+                               interpret=True).sum()
+
+    def loss_ref(q):
+        return dot_product_attention(apply_rope(q, cos, sin),
+                                     apply_rope(k, cos, sin), v).sum()
+
+    try:
+        g = jax.grad(loss)(q)
+    finally:
+        set_flash_attention()
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
 def test_flash_fused_rope_matches_unfused():
     b, l, h, d = 2, 256, 2, 32
     ks = jax.random.split(jax.random.PRNGKey(2), 4)
