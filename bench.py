@@ -421,7 +421,7 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
 
 
 def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False,
-                   bits: int = 8):
+                   bits: int = 8, batch: int = 1):
     """MusicGen-medium geometry AR decode: audio-sec/sec (50 Hz frames) and
     ms/step (the reference's bench_mx.py protocol). Zero weights, honest
     shapes: 48 layers, hidden 1536, batch 2 (CFG). The AR loop is HBM-bound
@@ -445,7 +445,7 @@ def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False
             lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype)
         )
     params = _zeros_like_tree(shape)
-    cond = jnp.zeros((1, 12, cfg.hidden_size), dtype)
+    cond = jnp.zeros((batch, 12, cfg.hidden_size), dtype)
 
     gen = jax.jit(
         lambda p, c, key: mg.generate(p, cfg, c, max_steps, 250, 1.0, 3.0, key)
@@ -469,9 +469,10 @@ def bench_musicgen(max_steps: int = 50, repeats: int = 3, quantize: bool = False
         np.asarray(gen(params, cond, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
     p50 = max(float(np.median(times)) - fetch, 1e-6)
-    audio_sec = max_steps / 50.0  # 50 Hz frames (encodec 32kHz / hop 640)
+    audio_sec = batch * max_steps / 50.0  # 50 Hz frames (32kHz / hop 640)
     return {
-        "metric": f"MusicGen-medium audio-sec/sec ({max_steps} AR steps, CFG batch 2)",
+        "metric": (f"MusicGen-medium audio-sec/sec ({max_steps} AR steps, "
+                   f"{batch} sample(s) per loop, CFG batch {2 * batch})"),
         "value": round(audio_sec / p50, 4),
         "unit": "audio-sec/sec",
         "vs_baseline": round((audio_sec / p50) / 2.0, 4),  # ≥2x realtime target
@@ -576,8 +577,10 @@ def main():
             import os
 
             return bench_musicgen(
+                max_steps=args.steps if args.steps != 4 else 50,
                 quantize=os.environ.get("FGT_QUANTIZE", "0") == "1",
                 bits=int(os.environ.get("FGT_QUANTIZE_BITS", "8")),
+                batch=args.batch,
             )
         if config == "musicgen-e2e":
             import os

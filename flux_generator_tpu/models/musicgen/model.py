@@ -341,7 +341,12 @@ def generate(
     cond = jnp.concatenate([conditioning, jnp.zeros_like(conditioning)], axis=0)
     cross_kv = precompute_cross_kv(params, cfg, cond)
 
-    fused = musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
+    from ...runtime.config import musicgen_fused_max_steps
+
+    # the fused kernel's dispatch-chain win inverts at long attention
+    # windows (measured crossover — runtime.config.musicgen_fused_max_steps)
+    fused = (musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
+             and max_steps <= musicgen_fused_max_steps())
     if fused:
         from ...ops.pallas.decode_layer import packable, pack_decode_weights
 

@@ -279,10 +279,11 @@ def _kernel(
 
     def pad_rows(outs):
         """Stack per-b (1, H) rows + zero pad to the (M, H) scratch shape."""
-        pad = jnp.zeros((ys.shape[0] - len(outs), h), ys.dtype)
-        return jnp.concatenate(
-            [o.astype(ys.dtype) for o in outs] + [pad], axis=0
-        )
+        rows = [o.astype(ys.dtype) for o in outs]
+        n_pad = ys.shape[0] - len(outs)
+        if n_pad:  # Mosaic rejects zero-size vectors — pad only when needed
+            rows.append(jnp.zeros((n_pad, h), ys.dtype))
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
     # ---- flash self-attention over the cache window + o-proj
     @pl.when(c == 3)
@@ -470,10 +471,11 @@ def _kernel2(
         )
 
     def pad_rows(outs):
-        pad = jnp.zeros((ys.shape[0] - len(outs), h), ys.dtype)
-        return jnp.concatenate(
-            [o.astype(ys.dtype) for o in outs] + [pad], axis=0
-        )
+        rows = [o.astype(ys.dtype) for o in outs]
+        n_pad = ys.shape[0] - len(outs)
+        if n_pad:  # Mosaic rejects zero-size vectors — pad only when needed
+            rows.append(jnp.zeros((n_pad, h), ys.dtype))
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
     def process_chunk(j):
         """Fold cache chunk j (the block currently mapped into kc/vc_ref)

@@ -106,11 +106,13 @@ def set_attn_int8(mode: str | None = None):
 
 def attn_int8() -> str:
     """int8 MXU feed for the flash-attention kernels — ONE-SHOT path only
-    (≤ ONE_SHOT_MAX, e.g. 1024² flux; int8xint8->int32 dots run 2x bf16
-    MXU throughput). On the streamed path the wrapper ignores the knob:
-    measured 2048² regression (qk 31.7 s / full 17.1 s vs 14.2 s bf16 —
-    per-block requant + logit dequant outweigh the dot saving; the kernel
-    tier remains test-covered via _flash_attention_jit).
+    (≤ ONE_SHOT_MAX). MEASURED A PERF LOSS ON BOTH PATHS on v5e (the
+    int8-dots-run-2x premise does not materialize in Mosaic at d=128
+    contractions): one-shot 1024² flux W8A8 1.91 s → qk 2.21 / full 2.22;
+    streamed 2048² 14.2 s → qk 31.7 / full 17.1 (the wrapper therefore
+    ignores the knob on the streamed path; the kernel tier stays
+    test-covered via _flash_attention_jit). Retained as an experimentation
+    knob only — never auto-enabled.
     "qk": only the QK^T logits dot —
     per-row q/k max-abs scales factor out exactly; measured error budget
     ~1.3% max / 0.13% mean vs f32 (the quality-safe tier). "full": also the
@@ -191,6 +193,26 @@ def musicgen_fused_step() -> bool:
 
         return jax.default_backend() == "tpu"
     return v_env not in ("0", "off", "false", "no")
+
+
+def set_musicgen_fused_max_steps(n: int | None = None):
+    """Force the fused-kernel step-count ceiling (None = back to
+    FGT_MG_FUSED_MAX_STEPS / default)."""
+    _KNOBS["mg_fused_max_steps"] = n
+
+
+def musicgen_fused_max_steps() -> int:
+    """generate() uses the fused decode kernel only up to this many AR
+    steps, the XLA layer loop beyond. The kernel wins while the attention
+    window is short (its win is dispatch-chain fusion: 6.98x vs 4.45x
+    realtime e2e at 200 steps) but its per-chunk cache walk scales worse
+    than XLA's chunked attention as the window grows (measured crossover
+    between 1000 and 2500 steps — BENCH_RESULTS 'MusicGen long-form
+    crossover' row)."""
+    v = _KNOBS.get("mg_fused_max_steps")
+    if v is not None:
+        return v
+    return int(os.environ.get("FGT_MG_FUSED_MAX_STEPS", "1500"))
 
 
 def set_musicgen_fused_impl(impl: str | None = None):

@@ -73,4 +73,23 @@ run_stage mg_e2e_fused_long 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.
 # fused kernel on TPU and reproduce the ~6.9x number.
 run_stage mg_e2e_default 3600 python bench.py --config musicgen-e2e
 
+# 7. Megakernel batched generation + long-form UI-cap refresh: the batched
+#    rows (14.4 aggregate audio-sec/sec) and the 1500/2500-step rows were
+#    measured on the XLA loop; the fused kernel is now the TPU default.
+for b in 1 2 4; do
+  run_stage "mg_batch$b" 3000 env FGT_QUANTIZE=1 python bench.py --config musicgen --steps 200 --batch "$b"
+done
+run_stage mg_e2e_2500 3600 env FGT_QUANTIZE=1 python bench.py --config musicgen-e2e --steps 2500
+# crossover mapping: fused degrades with window (2500-step fused 2.11x);
+# place the fused->xla switchover from both paths at 1500/2500.
+run_stage mg_e2e_xla_2500   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 2500
+run_stage mg_e2e_fused_1500 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e --steps 1500
+run_stage mg_e2e_xla_1500   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 1500
+
+# 8. int8 attention tiers on their INTENDED (one-shot) path: 1024-sq flux
+#    is 4352 tokens -> one-shot kernel. Decision data for the quality gate.
+run_stage flux1024_w8a8 3600 env FGT_W8A8=1 python bench.py --config flux-denoise --size 1024
+run_stage flux1024_qk   3600 env FGT_W8A8=1 FGT_ATTN_INT8=qk   python bench.py --config flux-denoise --size 1024
+run_stage flux1024_full 3600 env FGT_W8A8=1 FGT_ATTN_INT8=full python bench.py --config flux-denoise --size 1024
+
 echo "all stages complete; logs in $OUT"

@@ -187,6 +187,67 @@ def test_decode_step_parity_batched():
     _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
 
 
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_decode_step_parity_b8_no_pad(impl):
+    """n_samples=4 → B=8: the ys scratch needs NO zero-padding rows, which
+    the original pad_rows turned into a zero-size vector Mosaic rejects
+    ('vector types must have positive constant sizes but got 0, 1536' —
+    first hit by bench --config musicgen --batch 4 on chip). Interpret mode
+    pins the rows-only branch's numerics for both kernel impls."""
+    from flux_generator_tpu.runtime.config import set_musicgen_fused_impl
+
+    cfg, params, packed, cross_kv, b2, w = make_setup(False, n=4)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, jnp.bfloat16)
+    kc_f = jnp.zeros((L, b2, w, h), jnp.bfloat16)
+    vc_f = jnp.zeros_like(kc_f)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    tok = jax.random.randint(
+        jax.random.PRNGKey(5), (b2, 1, cfg.num_codebooks), 0,
+        cfg.codebook_size,
+    )
+    lg_x, kc_x, vc_x = mg.decode_step(
+        params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(0)
+    )
+    set_musicgen_fused_impl(impl)
+    try:
+        lg_f, kc_f, vc_f = mg.decode_step_fused(
+            packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(0),
+            interpret=True,
+        )
+    finally:
+        set_musicgen_fused_impl(None)
+    _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
+
+
+def test_fused_respects_max_steps_ceiling():
+    """Long-form runs route to the XLA loop even with the kernel forced on:
+    the fused kernel's dispatch-chain win inverts as the attention window
+    grows (measured crossover, runtime.config.musicgen_fused_max_steps)."""
+    from flux_generator_tpu.runtime.config import (
+        set_musicgen_fused_max_steps,
+    )
+
+    cfg, params, _, _, _, _ = make_setup(False)
+    cond = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size)) * 0.3
+    ).astype(jnp.bfloat16)
+    set_musicgen_fused(True)
+    set_musicgen_fused_max_steps(4)
+    try:
+        codes = mg.generate(
+            params, cfg, cond, max_steps=8, top_k=4,
+            key=jax.random.PRNGKey(4),
+        )
+    finally:
+        set_musicgen_fused(None)
+        set_musicgen_fused_max_steps(None)
+    assert codes.shape == (1, cfg.num_codebooks, 8 - cfg.num_codebooks + 1)
+
+
 def test_fused_falls_back_on_unpackable():
     """Grouped-int4 layouts must route generate() to the XLA path."""
     cfg, params, _, _, _, _ = make_setup(False)
