@@ -85,6 +85,9 @@ run_stage mg_e2e_2500 3600 env FGT_QUANTIZE=1 python bench.py --config musicgen-
 run_stage mg_e2e_xla_2500   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 2500
 run_stage mg_e2e_fused_1500 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 python bench.py --config musicgen-e2e --steps 1500
 run_stage mg_e2e_xla_1500   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 1500
+# ceiling placement: is fused still ahead at 2000?
+run_stage mg_e2e_fused_2000 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 python bench.py --config musicgen-e2e --steps 2000
+run_stage mg_e2e_xla_2000   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 2000
 
 # 8. int8 attention tiers on their INTENDED (one-shot) path: 1024-sq flux
 #    is 4352 tokens -> one-shot kernel. Decision data for the quality gate.
