@@ -265,7 +265,8 @@ def _embed_tokens(params, cfg: MusicGenConfig, tokens, offset):
 
 def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
                       k_cache, v_cache, offset,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      impl: Optional[str] = None):
     """decode_step via the fused Pallas megakernel (ops/pallas/decode_layer):
     the whole 48-layer stack — 6 matmuls + both attentions + norms per layer
     — runs as ONE weight-streaming pallas_call at ~HBM bandwidth, vs ~10 us
@@ -281,8 +282,11 @@ def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
         # run the kernel in interpret mode off-TPU so the fused path (and
         # generate() with it) stays testable on the CPU test mesh
         interpret = jax.default_backend() != "tpu"
-    step_fn = (fused_decode_step2 if musicgen_fused_impl() == "v2"
-               else fused_decode_step)
+    if impl is None:
+        impl = musicgen_fused_impl()
+        if impl == "auto":  # window-blind call sites default to v2
+            impl = "v2"
+    step_fn = fused_decode_step2 if impl == "v2" else fused_decode_step
     x = _embed_tokens(params, cfg, tokens, offset)
     dtype = x.dtype
     ck, cv = cross_kv
@@ -341,12 +345,13 @@ def generate(
     cond = jnp.concatenate([conditioning, jnp.zeros_like(conditioning)], axis=0)
     cross_kv = precompute_cross_kv(params, cfg, cond)
 
-    from ...runtime.config import musicgen_fused_max_steps
+    from ...runtime.config import musicgen_fused_impl_for
 
-    # the fused kernel's dispatch-chain win inverts at long attention
-    # windows (measured crossover — runtime.config.musicgen_fused_max_steps)
-    fused = (musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
-             and max_steps <= musicgen_fused_max_steps())
+    fused = musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
+    # v2 (blocked-input cache delivery) thrashes VMEM past ~1500-step
+    # windows; v1 (manual chunk DMA) holds — measured crossover in
+    # runtime.config.musicgen_fused_max_steps
+    fused_impl = musicgen_fused_impl_for(max_steps)
     if fused:
         from ...ops.pallas.decode_layer import packable, pack_decode_weights
 
@@ -379,7 +384,8 @@ def generate(
         tok2 = jnp.concatenate([tok, tok], axis=0)  # (2n, 1, K)
         if fused:
             logits, kc, vc = decode_step_fused(
-                packed, params, cfg, tok2, ckv, kc, vc, offset
+                packed, params, cfg, tok2, ckv, kc, vc, offset,
+                impl=fused_impl,
             )
         else:
             logits, kc, vc = decode_step(params, cfg, tok2, cross_kv, kc, vc, offset)

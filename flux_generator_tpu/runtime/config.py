@@ -196,19 +196,18 @@ def musicgen_fused_step() -> bool:
 
 
 def set_musicgen_fused_max_steps(n: int | None = None):
-    """Force the fused-kernel step-count ceiling (None = back to
+    """Force the v2→v1 window threshold (None = back to
     FGT_MG_FUSED_MAX_STEPS / default)."""
     _KNOBS["mg_fused_max_steps"] = n
 
 
 def musicgen_fused_max_steps() -> int:
-    """generate() uses the fused decode kernel only up to this many AR
-    steps, the XLA layer loop beyond. The kernel wins while the attention
-    window is short (its win is dispatch-chain fusion: 6.98x vs 4.45x
-    realtime e2e at 200 steps) but its per-chunk cache walk scales worse
-    than XLA's chunked attention as the window grows (measured crossover
-    between 1000 and 2500 steps — BENCH_RESULTS 'MusicGen long-form
-    crossover' row)."""
+    """AR-step threshold where the auto impl switches from the v2 kernel
+    (blocked-input cache delivery — whole window mapped per grid step) to
+    v1 (manual double-buffered chunk DMA, VMEM bounded per chunk). v2's
+    K/V window outgrows the 16 MB VMEM between 1500 and 2000 steps and
+    thrashes (e2e 5.90× at 1500 → 2.85× at 2000), while v1 holds 4.97× at
+    2000 / 4.49× at 2500 — BENCH_RESULTS 'MusicGen long-form crossover'."""
     v = _KNOBS.get("mg_fused_max_steps")
     if v is not None:
         return v
@@ -218,22 +217,33 @@ def musicgen_fused_max_steps() -> int:
 def set_musicgen_fused_impl(impl: str | None = None):
     """Select the fused decode-step kernel implementation (None = back to
     FGT_MG_FUSED_IMPL / default)."""
-    if impl is not None and impl not in ("v1", "v2"):
-        raise ValueError(f"impl must be v1|v2, got {impl!r}")
+    if impl is not None and impl not in ("v1", "v2", "auto"):
+        raise ValueError(f"impl must be v1|v2|auto, got {impl!r}")
     _KNOBS["mg_fused_impl"] = impl
 
 
 def musicgen_fused_impl() -> str:
     """Which fused decode-step kernel: "v1" streams the KV cache with
-    manual double-buffered DMAs; "v2" (default) lets the automatic grid
-    pipeline deliver the cache window as blocked inputs and folds the
-    flash chunks into the k/v-projection phases (no in-kernel semaphores,
-    per-layer K/V rows leave through one constant-index output)."""
+    manual double-buffered DMAs (VMEM bounded per chunk — survives long
+    windows); "v2" lets the automatic grid pipeline deliver the cache
+    window as blocked inputs and folds the flash chunks into the
+    k/v-projection phases (no in-kernel semaphores, per-layer K/V rows
+    leave through one constant-index output — slightly ahead at short
+    windows). Default "auto": generate() picks v2 up to
+    musicgen_fused_max_steps() AR steps and v1 beyond."""
     v = _KNOBS.get("mg_fused_impl")
     if v is not None:
         return v
-    v = os.environ.get("FGT_MG_FUSED_IMPL", "v2")
-    return v if v in ("v1", "v2") else "v2"
+    v = os.environ.get("FGT_MG_FUSED_IMPL", "auto")
+    return v if v in ("v1", "v2", "auto") else "auto"
+
+
+def musicgen_fused_impl_for(max_steps: int) -> str:
+    """Resolve the fused-kernel impl for a concrete AR-loop length."""
+    v = musicgen_fused_impl()
+    if v != "auto":
+        return v
+    return "v2" if max_steps <= musicgen_fused_max_steps() else "v1"
 
 
 def use_pallas_lstm() -> bool:

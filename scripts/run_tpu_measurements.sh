@@ -88,6 +88,10 @@ run_stage mg_e2e_xla_1500   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.
 # ceiling placement: is fused still ahead at 2000?
 run_stage mg_e2e_fused_2000 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 python bench.py --config musicgen-e2e --steps 2000
 run_stage mg_e2e_xla_2000   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.py --config musicgen-e2e --steps 2000
+# v1 streams the cache window via manual double-buffered DMA (VMEM bounded
+# per chunk) — does it dodge the v2 long-window cliff?
+run_stage mg_e2e_v1_2000 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 FGT_MG_FUSED_IMPL=v1 python bench.py --config musicgen-e2e --steps 2000
+run_stage mg_e2e_v1_2500 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 FGT_MG_FUSED_IMPL=v1 python bench.py --config musicgen-e2e --steps 2500
 
 # 8. int8 attention tiers on their INTENDED (one-shot) path: 1024-sq flux
 #    is 4352 tokens -> one-shot kernel. Decision data for the quality gate.

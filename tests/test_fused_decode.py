@@ -223,14 +223,30 @@ def test_decode_step_parity_b8_no_pad(impl):
     _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
 
 
-def test_fused_respects_max_steps_ceiling():
-    """Long-form runs route to the XLA loop even with the kernel forced on:
-    the fused kernel's dispatch-chain win inverts as the attention window
-    grows (measured crossover, runtime.config.musicgen_fused_max_steps)."""
+def test_fused_impl_window_switch():
+    """Long-form runs stay on the fused path but switch kernel impl: v2's
+    blocked-input cache delivery thrashes VMEM past ~1500-step windows
+    while v1's manual chunk DMA holds (measured crossover,
+    runtime.config.musicgen_fused_max_steps)."""
     from flux_generator_tpu.runtime.config import (
+        musicgen_fused_impl_for,
+        set_musicgen_fused_impl,
         set_musicgen_fused_max_steps,
     )
 
+    set_musicgen_fused_max_steps(4)
+    try:
+        assert musicgen_fused_impl_for(4) == "v2"
+        assert musicgen_fused_impl_for(5) == "v1"
+        set_musicgen_fused_impl("v2")  # explicit impl overrides auto
+        assert musicgen_fused_impl_for(5) == "v2"
+    finally:
+        set_musicgen_fused_impl(None)
+        set_musicgen_fused_max_steps(None)
+    assert musicgen_fused_impl_for(1500) == "v2"
+    assert musicgen_fused_impl_for(1501) == "v1"
+
+    # generate() above the threshold runs the v1 kernel end-to-end
     cfg, params, _, _, _, _ = make_setup(False)
     cond = (
         jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size)) * 0.3
