@@ -92,6 +92,11 @@ run_stage mg_e2e_xla_2000   3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=0 python bench.
 # per chunk) — does it dodge the v2 long-window cliff?
 run_stage mg_e2e_v1_2000 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 FGT_MG_FUSED_IMPL=v1 python bench.py --config musicgen-e2e --steps 2000
 run_stage mg_e2e_v1_2500 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_MAX_STEPS=4000 FGT_MG_FUSED_IMPL=v1 python bench.py --config musicgen-e2e --steps 2500
+# complete the impl matrix: is v1 also ahead at short/mid windows (could
+# simplify auto to v1-everywhere)?
+for s in 200 1000 1500; do
+  run_stage "mg_e2e_v1_$s" 3600 env FGT_QUANTIZE=1 FGT_MG_FUSED=1 FGT_MG_FUSED_IMPL=v1 python bench.py --config musicgen-e2e --steps "$s"
+done
 
 # 8. int8 attention tiers on their INTENDED (one-shot) path: 1024-sq flux
 #    is 4352 tokens -> one-shot kernel. Decision data for the quality gate.
