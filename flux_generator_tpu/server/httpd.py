@@ -85,23 +85,29 @@ def make_handler(api: FluxAPI):
                     self._json(200, api.set_options(self._read_json()))
                 elif path == "/api/music":
                     req = MusicRequest(**self._read_json())
-                    audio, sr = api.generate_music(
+                    audios, sr = api.generate_music(
                         req.prompt, req.max_steps, req.top_k, req.temperature,
                         req.guidance, req.seed if req.seed >= 0 else None,
+                        req.n_samples,
                     )
                     import base64
                     import io as _io
 
                     from ..utils.audio import save_audio
 
-                    # scipy wavfile.write accepts file objects — no temp file
-                    buf = _io.BytesIO()
-                    save_audio(buf, audio, sr)
-                    wav = buf.getvalue()
+                    def to_url(audio):
+                        # scipy wavfile.write accepts file objects
+                        buf = _io.BytesIO()
+                        save_audio(buf, audio, sr)
+                        return ("data:audio/wav;base64,"
+                                + base64.b64encode(buf.getvalue()).decode())
+
+                    urls = [to_url(a) for a in audios]
                     self._json(200, {
-                        "audio": "data:audio/wav;base64," + base64.b64encode(wav).decode(),
+                        "audio": urls[0],  # back-compat single-sample field
+                        "audios": urls,
                         "sampling_rate": sr,
-                        "duration_s": round(len(audio) / sr, 2),
+                        "duration_s": round(len(audios[0]) / sr, 2),
                     })
                 else:
                     self._json(404, {"detail": "Not Found"})

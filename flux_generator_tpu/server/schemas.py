@@ -49,3 +49,6 @@ class MusicRequest(BaseModel):
     temperature: float = 1.0
     guidance: float = 3.0
     seed: int = -1
+    # samples share ONE batched AR loop (weight reads amortize: measured
+    # 7.8/13.8/21.7 aggregate audio-sec/sec at n=1/2/4 — BENCH_RESULTS)
+    n_samples: int = 1

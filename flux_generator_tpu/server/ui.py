@@ -117,11 +117,14 @@ INDEX_HTML = """<!DOCTYPE html>
       <div><label>Temperature</label><input id="mus-temp" type="number" value="1.0" step="0.1"></div>
       <div><label>Guidance</label><input id="mus-cfg" type="number" value="3.0" step="0.5"></div>
     </div>
+    <div><label>Samples (one batched loop — extra samples are nearly free)</label>
+      <select id="mus-samples"><option>1</option><option>2</option><option>4</option></select></div>
     <button id="mus-go">Generate Music</button>
     <progress id="mus-progress" value="0" max="1" hidden></progress>
   </div>
   <div class="output">
     <audio id="music-out" controls style="width:100%"></audio>
+    <div id="music-extra"></div>
     <div class="stats" id="mus-stats">Ready.</div>
   </div>
 </div>
@@ -240,14 +243,23 @@ document.getElementById('mus-go').onclick = async () => {
       top_k: +document.getElementById('mus-topk').value,
       temperature: +document.getElementById('mus-temp').value,
       guidance: +document.getElementById('mus-cfg').value,
+      n_samples: +document.getElementById('mus-samples').value,
     };
     const r = await fetch('/api/music', {method: 'POST',
       headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body)});
     const data = await r.json();
     if (!r.ok) throw new Error(data.detail || r.status);
-    document.getElementById('music-out').src = data.audio;
+    const urls = data.audios || [data.audio];
+    document.getElementById('music-out').src = urls[0];
+    const extra = document.getElementById('music-extra');
+    extra.innerHTML = '';
+    for (const u of urls.slice(1)) {
+      const a = document.createElement('audio');
+      a.controls = true; a.style.width = '100%'; a.src = u;
+      extra.appendChild(a);
+    }
     stats.textContent = `Total time: ${((performance.now()-t0)/1000).toFixed(1)} s\\n` +
-      `Audio: ${data.duration_s}s @ ${data.sampling_rate} Hz`;
+      `Audio: ${urls.length} sample(s), ${data.duration_s}s @ ${data.sampling_rate} Hz`;
   } catch (e) { stats.textContent = 'Error: ' + e.message; }
   clearInterval(timer); bar.hidden = true; btn.disabled = false;
 };

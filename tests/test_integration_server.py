@@ -96,6 +96,34 @@ def test_real_music_over_http(real_server):
         assert w.getnframes() > 0
 
 
+def test_music_n_samples_over_http(real_server):
+    """n_samples=2 returns two distinct WAVs from ONE batched AR loop
+    (the weight reads amortize — BENCH_RESULTS batched-generation row)."""
+    req = urllib.request.Request(
+        real_server + "/api/music",
+        json.dumps({"prompt": "piano", "max_steps": 8, "top_k": 4,
+                    "seed": 1, "n_samples": 2}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        data = json.loads(r.read())
+    assert r.status == 200
+    assert len(data["audios"]) == 2
+    assert data["audio"] == data["audios"][0]
+    import base64
+    import io
+    import wave
+
+    frames = []
+    for url in data["audios"]:
+        assert url.startswith("data:audio/wav;base64,")
+        raw = base64.b64decode(url.split(",", 1)[1])
+        with wave.open(io.BytesIO(raw)) as w:
+            assert w.getnframes() > 0
+            frames.append(w.readframes(w.getnframes()))
+    assert frames[0] != frames[1]  # per-sample keys → distinct audio
+
+
 def test_queue_full_returns_429(real_server, monkeypatch):
     """With every queue slot taken, a new request must get HTTP 429 (the
     reference's Gradio queue has a max_size but its REST path is unbounded)."""
