@@ -45,7 +45,16 @@ def main():
     )
     assert not pipe.schnell  # dev time-shift schedule
 
-    b, h, w = 1, 64, 64
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512,
+                    help="image px (512 or 1024 — dev's native showcase)")
+    ap.add_argument("--steps", type=int, default=4,
+                    help="proof steps; dev serves at 35-50")
+    args = ap.parse_args()
+
+    b, h, w = 1, args.size // 8, args.size // 8
     key = jax.random.PRNGKey(0)
     x_t = pack_latents(jax.random.normal(key, (b, h, w, 16), dtype))
     x_ids = latent_ids(b, h, w)
@@ -53,7 +62,7 @@ def main():
     txt_ids = jnp.zeros((b, 512, 3), jnp.int32)
     vec = jax.random.normal(key, (b, cfg.vec_in_dim), dtype)
 
-    steps = 4  # proof steps; dev defaults to 35-50 in serving
+    steps = args.steps
 
     def one():
         out = pipe.denoise_latents(x_t, x_ids, txt, txt_ids, vec, steps, 4.0)
@@ -65,8 +74,11 @@ def main():
         t0 = time.perf_counter()
         img = one()
         ts.append(time.perf_counter() - t0)
-    print(f"flux-dev 12B (guidance_embed) 512², {steps} steps: "
-          f"p50 {float(np.median(ts)):.3f} s, output {img.shape} {img.dtype}")
+    p50 = float(np.median(ts))
+    print(f"flux-dev 12B (guidance_embed) {args.size}², {steps} steps: "
+          f"p50 {p50:.3f} s ({p50 / steps * 1000:.0f} ms/step; typical "
+          f"25-step serve ≈ {p50 / steps * 25:.1f} s), "
+          f"output {img.shape} {img.dtype}")
 
 
 if __name__ == "__main__":
