@@ -275,7 +275,9 @@ def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
     cross_kv: (ck, cv) each (L, B, S, H) — heads flattened; caches
     (L, B, W, H) flat layout (this path owns its cache layout end-to-end).
     Same signature/semantics as decode_step otherwise."""
-    from ...ops.pallas.decode_layer import fused_decode_step, fused_decode_step2
+    from ...ops.pallas.decode_layer import (
+        fused_decode_step, fused_decode_step2, fused_decode_step3,
+    )
     from ...runtime.config import musicgen_fused_impl
 
     if interpret is None:
@@ -284,9 +286,10 @@ def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
         interpret = jax.default_backend() != "tpu"
     if impl is None:
         impl = musicgen_fused_impl()
-        if impl == "auto":  # window-blind call sites default to v2
-            impl = "v2"
-    step_fn = fused_decode_step2 if impl == "v2" else fused_decode_step
+        if impl == "auto":  # window-blind call sites default to v3
+            impl = "v3"
+    step_fn = {"v1": fused_decode_step, "v2": fused_decode_step2,
+               "v3": fused_decode_step3}[impl]
     x = _embed_tokens(params, cfg, tokens, offset)
     dtype = x.dtype
     ck, cv = cross_kv

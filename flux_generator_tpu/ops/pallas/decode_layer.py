@@ -610,6 +610,350 @@ def _kernel2(
         o_ref[...] = xs[...].astype(o_ref.dtype)
 
 
+# ------------------------------------------------------------ kernel v3
+#
+# v2 with the ≤2-chunk restriction removed (VERDICT r3 next #2: v2 cliffs
+# past 1500-step windows because half the window must fit VMEM; v1's manual
+# DMA holds but pays in-kernel semaphore waits). v3 streams the K/V window
+# through the SAME automatic grid pipeline as the weight chunks, one
+# (1, B, chunk, H) block per extra grid phase:
+#
+#   cpl = 14 + (n_chunks - 1) phases per layer:
+#     c0          ln1 + q projection
+#     c1          k_new projection
+#     c2          v_new projection + running-softmax seed + fold chunk 0
+#     c2+j        fold chunk j                     (j = 1 .. n_chunks-1)
+#     c2+n        finalize softmax + o-projection  (weight chunk 3)
+#     ...         cross/ffn phases as v2, shifted by n_chunks-1
+#
+# The weight-chunk index map re-maps phases to the 14-chunk packed stream
+# (chunk-fold phases prefetch the o-projection weight), so the packed
+# weights are IDENTICAL across v1/v2/v3. The chunk size adapts to the CFG
+# batch so the double-buffered K/V blocks stay inside a fixed VMEM budget —
+# batch-aware by construction, which is what makes the impl choice monotone
+# (the v1/v2 FGT_MG_FUSED_MAX_STEPS crossover constant goes away).
+
+
+def _kernel3(
+    # inputs
+    off_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref, kc_ref, vc_ref,
+    # outputs
+    o_ref, kn_out, vn_out,
+    # scratch
+    xs, lns, ys, hs, accs, ms, ls,
+    *, n_heads: int, b_live: int, chunk: int, n_chunks: int, window: int,
+    cpl: int, stub: tuple = (),
+):
+    i = pl.program_id(0)
+    li = i // cpl
+    c = jax.lax.rem(i, cpl)
+    shift = n_chunks - 1
+    off = off_ref[0]
+    h = xs.shape[-1]
+    dh = h // n_heads
+    scale = dh ** -0.5
+    B = b_live
+
+    def wf():
+        return w_ref[0].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot(
+            a.astype(jnp.bfloat16), wf(), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == 0)
+    def _():
+        xs[...] = x_ref[...].astype(jnp.float32)
+
+    def ln_at(k):
+        return (
+            ln_ref[0, k : k + 1].astype(jnp.float32),
+            ln_ref[0, k + 1 : k + 2].astype(jnp.float32),
+        )
+
+    def seg_mats():
+        seg = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, n_heads), 0) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (h, n_heads), 1)
+        ).astype(jnp.bfloat16)
+        seg_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_heads, h), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n_heads, h), 1) // dh
+        ).astype(jnp.bfloat16)
+        return seg, seg_t
+
+    def head_sum(x2d, seg):
+        return jax.lax.dot(x2d, seg, preferred_element_type=jnp.float32)
+
+    def head_expand(x2d, seg_t):
+        return jax.lax.dot(
+            x2d.astype(jnp.bfloat16), seg_t, preferred_element_type=jnp.float32
+        )
+
+    def pad_rows(outs):
+        rows = [o.astype(ys.dtype) for o in outs]
+        n_pad = ys.shape[0] - len(outs)
+        if n_pad:  # Mosaic rejects zero-size vectors — pad only when needed
+            rows.append(jnp.zeros((n_pad, h), ys.dtype))
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+    def process_chunk(j):
+        """Fold the cache chunk currently mapped into kc/vc_ref (chunk j)
+        into the running softmax state (ms/ls, accs)."""
+        seg, seg_t = seg_mats()
+        for b in range(B):
+            qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+            kcb = kc_ref[0, b]                            # (chunk, H) bf16
+            vcb = vc_ref[0, b]
+            lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
+            pos = j * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, lo.shape, 0)
+            live = pos < off
+            lo = jnp.where(live, lo, NEG)
+            m_old = ms[b : b + 1, :]
+            m_new = jnp.maximum(m_old, jnp.max(lo, axis=0, keepdims=True))
+            p = jnp.exp(lo - m_new)                       # (chunk, nh)
+            r = jnp.exp(m_old - m_new)                    # (1, nh)
+            ls[b : b + 1, :] = ls[b : b + 1, :] * r + jnp.sum(
+                p, axis=0, keepdims=True)
+            # zero dead V rows: past `off`, and (last chunk) past W where the
+            # block pad reads garbage — p == 0 would still poison via 0 * NaN
+            vz = jnp.where(
+                jnp.broadcast_to(live[:, :1], vcb.shape),
+                vcb.astype(jnp.float32), 0.0,
+            ).astype(jnp.bfloat16)
+            pv = jnp.sum(
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
+                axis=0, keepdims=True,
+            ).astype(jnp.float32)
+            accs[b : b + 1, :] = accs[b : b + 1, :] * head_expand(
+                r, seg_t) + pv
+            ms[b : b + 1, :] = m_new
+
+    # ---- self-attn qkv + streamed flash chunks
+    @pl.when(c == 0)
+    def _():
+        s0, b0 = ln_at(0)
+        lns[...] = _ln(xs[...], s0, b0)
+        ys[...] = dot(lns[...])
+
+    @pl.when(c == 1)
+    def _():
+        kn_out[li] = dot(lns[...])[0:B, :].astype(kn_out.dtype)
+
+    @pl.when(c == 2)
+    def _():
+        vn = dot(lns[...])
+        vn_out[li] = vn[0:B, :].astype(vn_out.dtype)
+        if "self" not in stub:
+            seg, seg_t = seg_mats()
+            kn = kn_out[li]
+            # seed the running softmax with the current token (always live,
+            # so fully-masked cache chunks cannot poison the running max)
+            for b in range(B):
+                qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+                m0 = head_sum(qb * kn[b : b + 1, :].astype(jnp.bfloat16), seg)
+                ms[b : b + 1, :] = m0
+                ls[b : b + 1, :] = jnp.ones_like(m0)
+                accs[b : b + 1, :] = vn[b : b + 1, :]
+            process_chunk(0)
+
+    # fold chunks 1..n_chunks-1, one per phase (each arrives prefetched by
+    # the grid pipeline while the previous one is being folded)
+    for jj in range(1, n_chunks):
+        @pl.when(c == 2 + jj)
+        def _(jj=jj):
+            if "self" not in stub:
+                process_chunk(jj)
+
+    @pl.when(c == 2 + n_chunks)
+    def _():
+        if "self" in stub:  # timing bisect: o-proj of ys directly
+            xs[...] = xs[...] + dot(ys[...])
+            return
+        _, seg_t = seg_mats()
+        outs = [
+            accs[b : b + 1, :] / head_expand(ls[b : b + 1, :], seg_t)
+            for b in range(B)
+        ]
+        ys[...] = pad_rows(outs)
+        xs[...] = xs[...] + dot(ys[...])
+
+    # ---- cross-attention q / attention + o-proj
+    @pl.when(c == 4 + shift)
+    def _():
+        s0, b0 = ln_at(2)
+        lns[...] = _ln(xs[...], s0, b0)
+        ys[...] = dot(lns[...])
+
+    @pl.when(c == 5 + shift)
+    def _():
+        if "cross" in stub:
+            xs[...] = xs[...] + dot(ys[...])
+            return
+        seg, seg_t = seg_mats()
+        outs = []
+        for b in range(B):
+            qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
+            kc = ck_ref[0, b]                             # (S, H) bf16
+            vc = cv_ref[0, b]
+            lo = head_sum(qb * kc, seg)                   # (S, nh)
+            m = jnp.max(lo, axis=0, keepdims=True)
+            p = jnp.exp(lo - m)
+            psum = jnp.sum(p, axis=0, keepdims=True)      # (1, nh)
+            av = jnp.sum(
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                axis=0, keepdims=True,
+            ).astype(jnp.float32)
+            outs.append(av / head_expand(psum, seg_t))
+        ys[...] = pad_rows(outs)
+        xs[...] = xs[...] + dot(ys[...])
+
+    # ---- ffn
+    @pl.when(c == 6 + shift)
+    def _():
+        s0, b0 = ln_at(4)
+        lns[...] = _ln(xs[...], s0, b0)
+
+    for j in range(4):
+        @pl.when(c == 6 + shift + j)
+        def _(j=j):
+            hs[:, j * h : (j + 1) * h] = dot(lns[...])
+
+    @pl.when(c == 10 + shift)
+    def _():
+        accs[...] = jnp.zeros_like(accs)
+
+    for j in range(4):
+        @pl.when(c == 10 + shift + j)
+        def _(j=j):
+            g = _gelu(hs[:, j * h : (j + 1) * h])
+            accs[...] = accs[...] + dot(g)
+
+    @pl.when(c == 13 + shift)
+    def _():
+        xs[...] = xs[...] + accs[...]
+        o_ref[...] = xs[...].astype(o_ref.dtype)
+
+
+# double-buffered K/V chunk pairs (k+v, bf16) stay inside this VMEM budget;
+# the rest of the kernel's residents (weight chunks, scratch, cross K/V) fit
+# comfortably beside it under the 110 MB Mosaic limit used by v1/v2
+_V3_KV_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def v3_chunk_rows(B: int, h: int, W: int, itemsize: int = 2) -> int:
+    """Batch-aware chunk size: largest 8-aligned row count whose
+    double-buffered K+V blocks fit the VMEM budget, clamped to [256, 1024]
+    (tiny chunks waste grid phases, huge ones starve the weight pipeline)."""
+    rows = _V3_KV_VMEM_BUDGET // (4 * B * h * itemsize)  # 2 buffers x (k+v)
+    chunk = max(256, min(1024, rows // 8 * 8))
+    return min(chunk, -(-W // 8) * 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "chunk", "interpret", "stub")
+)
+def fused_decode_step3(
+    packed, x, cross_k, cross_v, offset, k_cache, v_cache,
+    *, n_heads: int, chunk: int = 0, interpret: bool = False,
+    stub: tuple = (),
+):
+    """fused_decode_step via the streamed-window kernel (_kernel3).
+
+    Identical contract to fused_decode_step/2; works at ANY window length —
+    the K/V window streams through the grid pipeline in batch-aware chunks
+    instead of being bounded by VMEM (v2) or hand-rolled DMA (v1)."""
+    L_cpl, h, _ = packed["w"].shape
+    B, _ = x.shape
+    W = k_cache.shape[2]
+    if W % 8:
+        raise ValueError(f"cache window {W} must be a multiple of 8")
+    M = max(8, B)
+    if not chunk:
+        chunk = v3_chunk_rows(B, h, W, jnp.dtype(k_cache.dtype).itemsize)
+    n_chunks = -(-W // chunk)
+    cpl = CPL + n_chunks - 1
+    shift = n_chunks - 1
+
+    x_pad = jnp.zeros((M, h), x.dtype).at[0:B, :].set(x)
+    off = jnp.reshape(offset.astype(jnp.int32), (1,))
+
+    kernel = functools.partial(
+        _kernel3, n_heads=n_heads, b_live=B, chunk=chunk,
+        n_chunks=n_chunks, window=W, cpl=cpl, stub=stub,
+    )
+    n_layers = L_cpl // CPL
+
+    def w_idx(i):
+        # map the (14 + shift)-phase schedule onto the 14-chunk packed
+        # weight stream: chunk-fold phases prefetch the o-proj weight (3)
+        li = i // cpl
+        c = jax.lax.rem(i, cpl)
+        wc = jnp.where(
+            c <= 2, c, jnp.where(c <= 2 + n_chunks, 3, c - shift)
+        )
+        return (li * CPL + wc, 0, 0)
+
+    def kv_idx(i):
+        return (
+            i // cpl, 0,
+            jnp.clip(jax.lax.rem(i, cpl) - 2, 0, n_chunks - 1), 0,
+        )
+
+    y, kn, vn = pl.pallas_call(
+        kernel,
+        grid=(n_layers * cpl,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # offset
+            pl.BlockSpec((1, h, h), w_idx),                         # w chunk
+            pl.BlockSpec((1, 1, h), w_idx),                         # scales
+            pl.BlockSpec((1, 8, h), lambda i: (i // cpl, 0, 0)),    # ln
+            pl.BlockSpec((M, h), lambda i: (0, 0)),                 # x
+            pl.BlockSpec(
+                (1, B, cross_k.shape[2], h), lambda i: (i // cpl, 0, 0, 0)
+            ),                                                      # cross K
+            pl.BlockSpec(
+                (1, B, cross_v.shape[2], h), lambda i: (i // cpl, 0, 0, 0)
+            ),                                                      # cross V
+            pl.BlockSpec((1, B, chunk, h), kv_idx),                 # k window
+            pl.BlockSpec((1, B, chunk, h), kv_idx),                 # v window
+        ],
+        out_specs=[
+            pl.BlockSpec((M, h), lambda i: (0, 0)),                 # y
+            pl.BlockSpec((n_layers, B, h), lambda i: (0, 0, 0)),    # k rows
+            pl.BlockSpec((n_layers, B, h), lambda i: (0, 0, 0)),    # v rows
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, h), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), k_cache.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), v_cache.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, h), jnp.float32),          # xs
+            pltpu.VMEM((M, h), jnp.float32),          # lns
+            pltpu.VMEM((M, h), jnp.float32),          # ys
+            pltpu.VMEM((M, 4 * h), jnp.float32),      # hs
+            pltpu.VMEM((M, h), jnp.float32),          # accs
+            pltpu.VMEM((M, n_heads), jnp.float32),    # ms (running max)
+            pltpu.VMEM((M, n_heads), jnp.float32),    # ls (running sum)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, packed["w"], packed["s"], packed["ln"], x_pad,
+      cross_k, cross_v, k_cache, v_cache)
+    zero = jnp.int32(0)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, kn[:, :, None, :], (zero, zero, offset, zero))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, vn[:, :, None, :], (zero, zero, offset, zero))
+    return y[0:B, :], k_cache, v_cache
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "chunk", "interpret", "stub")
 )

@@ -54,6 +54,17 @@ def use_pallas_int4() -> bool:
     return _flag("FGT_PALLAS_INT4")
 
 
+def use_pallas_w8a8() -> bool:
+    """W8A8 matmuls through the fused Pallas kernel
+    (ops/pallas/w8a8_matmul.py): per-(row, k-block) activation quantization
+    happens IN VMEM inside the matmul instead of as two extra XLA passes
+    over the activations (amax reduction + int8 materialization) — the
+    overhead that held the r3 int8 datapath at 51% of the MXU peak.
+    Only active when w8a8_enabled() already selected the int8-activation
+    path. auto = on for TPU."""
+    return _flag("FGT_PALLAS_W8A8")
+
+
 # ------------------------------------------------------------- call-time knobs
 # Env vars are read at CALL time (not module import), and every knob has a
 # programmatic setter so a live server can retune without re-importing —
@@ -217,8 +228,8 @@ def musicgen_fused_max_steps() -> int:
 def set_musicgen_fused_impl(impl: str | None = None):
     """Select the fused decode-step kernel implementation (None = back to
     FGT_MG_FUSED_IMPL / default)."""
-    if impl is not None and impl not in ("v1", "v2", "auto"):
-        raise ValueError(f"impl must be v1|v2|auto, got {impl!r}")
+    if impl is not None and impl not in ("v1", "v2", "v3", "auto"):
+        raise ValueError(f"impl must be v1|v2|v3|auto, got {impl!r}")
     _KNOBS["mg_fused_impl"] = impl
 
 
@@ -235,7 +246,7 @@ def musicgen_fused_impl() -> str:
     if v is not None:
         return v
     v = os.environ.get("FGT_MG_FUSED_IMPL", "auto")
-    return v if v in ("v1", "v2", "auto") else "auto"
+    return v if v in ("v1", "v2", "v3", "auto") else "auto"
 
 
 def musicgen_fused_impl_for(max_steps: int) -> str:

@@ -51,7 +51,7 @@ def make_setup(quantize: bool, n: int = 1, s_text: int = 6, w: int = 8):
     return cfg, params, packed, cross_kv, b2, w
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("quantize", [False, True])
 def test_decode_step_parity(quantize, impl):
     from flux_generator_tpu.runtime.config import set_musicgen_fused_impl
@@ -135,6 +135,69 @@ def test_decode_step_parity_two_chunks():
     _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
 
 
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("n", [1, 4])
+def test_decode_step_parity_v3_multichunk(quantize, n):
+    """v3 streams the window in >2 pipelined chunks (the long-form shape the
+    v1/v2 split existed for): force chunk=256 over a 1024-position window →
+    4 chunks, offset deep inside chunk 3 so every chunk carries live mass
+    and the block-pad masking on the tail is exercised. n=4 → CFG batch 8,
+    the batched-serving footprint VERDICT r3 flagged as unvalidated."""
+    from flux_generator_tpu.ops.pallas.decode_layer import fused_decode_step3
+
+    cfg, params, packed, cross_kv, b2, w = make_setup(quantize, n=n, w=1024)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, jnp.bfloat16)
+    r_k = (jax.random.normal(jax.random.PRNGKey(7), (L, b2, w, h)) * 0.2
+           ).astype(jnp.bfloat16)
+    r_v = (jax.random.normal(jax.random.PRNGKey(8), (L, b2, w, h)) * 0.2
+           ).astype(jnp.bfloat16)
+    kc_x = r_k.reshape(kc_x.shape)
+    vc_x = r_v.reshape(vc_x.shape)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    tok = jax.random.randint(
+        jax.random.PRNGKey(9), (b2, 1, cfg.num_codebooks), 0,
+        cfg.codebook_size,
+    )
+    off = jnp.int32(900)  # chunks 0-2 fully live, chunk 3 partially live
+    lg_x, kc_x, vc_x = mg.decode_step(
+        params, cfg, tok, cross_kv, kc_x, vc_x, off
+    )
+
+    x = mg._embed_tokens(params, cfg, tok, off)
+    y, kc_f, vc_f = fused_decode_step3(
+        packed, x[:, 0, :], ckv_flat[0], ckv_flat[1], off, r_k, r_v,
+        n_heads=cfg.num_attention_heads, chunk=256, interpret=True,
+    )
+    from flux_generator_tpu.ops.norms import layer_norm
+
+    xn = layer_norm(y[:, None, :], params["out_norm"])
+    lg_f = jnp.einsum("btd,kdv->btvk", xn, params["linears"].astype(xn.dtype))
+    _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
+
+
+def test_v3_chunk_rows_batch_aware():
+    """The v3 chunk size shrinks with the CFG batch so the double-buffered
+    K/V blocks stay inside the VMEM budget at n=4 serving (B=8) — the
+    batch-blind FGT_MG_FUSED_MAX_STEPS constant this replaces was measured
+    at n=1 only."""
+    from flux_generator_tpu.ops.pallas.decode_layer import (
+        _V3_KV_VMEM_BUDGET, v3_chunk_rows,
+    )
+
+    h = 1536
+    for B in (2, 4, 8, 16):
+        chunk = v3_chunk_rows(B, h, W=4096)
+        assert chunk % 8 == 0
+        assert 4 * B * chunk * h * 2 <= _V3_KV_VMEM_BUDGET
+    assert v3_chunk_rows(2, h, W=4096) >= v3_chunk_rows(8, h, W=4096)
+    # short windows collapse to one chunk
+    assert v3_chunk_rows(2, h, W=200) == 200
+
+
 def test_generate_fused_integration():
     """generate() with the knob forced on (interpret kernel on CPU) matches
     the XLA path's output SHAPE contract and produces in-vocab codes across
@@ -187,7 +250,7 @@ def test_decode_step_parity_batched():
     _check_step(lg_x, lg_f, kc_x, kc_f, cfg, b2, w)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 def test_decode_step_parity_b8_no_pad(impl):
     """n_samples=4 → B=8: the ys scratch needs NO zero-padding rows, which
     the original pad_rows turned into a zero-size vector Mosaic rejects
