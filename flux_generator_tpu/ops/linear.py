@@ -144,16 +144,49 @@ def dense(p, x):
             y = x @ w
         elif _w8a8_enabled() and p["kernel_q"].dtype == jnp.int8:
             # full int8 MXU path (~1.6x bf16 on v5e): per-token activation
-            # scales x per-out-channel weight scales
-            sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
-            sx = jnp.maximum(sx, 1e-8)
-            x_q = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                x_q, p["kernel_q"],
-                (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = acc.astype(x.dtype) * sx.astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+            # scales x per-out-channel weight scales. Three formulations of
+            # the activation quant (FGT_W8A8_IMPL, measured by
+            # scripts/prof_w8a8.py):
+            #   pq     — one-pass Pallas row-quantizer feeding the XLA int8
+            #            dot (saves the separate amax pass; XLA's int8
+            #            matmul scheduling measures at/near the 394 TOPS
+            #            peak on the big flux shapes, so keep it)
+            #   pallas — fully fused matmul (quant + int8 dots + dequant in
+            #            one pallas_call; ~250 TOPS-eff standalone)
+            #   xla    — amax + round + dot as discrete XLA ops (2 extra
+            #            activation passes)
+            y = None
+            m_rows = x.size // x.shape[-1]
+            if p["kernel_q"].ndim == 2 and m_rows >= 16:
+                from ..runtime.config import w8a8_impl
+
+                impl = w8a8_impl()
+                if impl == "pallas":
+                    from .pallas.w8a8_matmul import supported, w8a8_matmul
+
+                    if supported(x.shape[-1], p["kernel_scale"]):
+                        y = w8a8_matmul(x, p["kernel_q"], p["kernel_scale"])
+                elif impl == "pq":
+                    from .pallas.w8a8_matmul import quantize_rows
+
+                    x_q, sx = quantize_rows(x)
+                    acc = jax.lax.dot_general(
+                        x_q, p["kernel_q"],
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    y = (acc.astype(x.dtype) * sx.astype(x.dtype)
+                         * p["kernel_scale"].astype(x.dtype))
+            if y is None:
+                sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                sx = jnp.maximum(sx, 1e-8)
+                x_q = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    x_q, p["kernel_q"],
+                    (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(x.dtype) * sx.astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
         else:
             # weight-only int8/int4: dequantize into the compute dtype
             w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]

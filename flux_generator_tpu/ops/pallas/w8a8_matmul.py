@@ -90,9 +90,13 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
-def w8a8_matmul(x, kernel_q, kernel_scale, *, interpret: bool = False):
+def w8a8_matmul(x, kernel_q, kernel_scale, *, interpret: bool | None = None):
     """x: (..., K) bf16/f32 @ int8 kernel (K, N) with per-channel (N,) scales
     → (..., N) in x.dtype. Activation quant happens inside the kernel."""
+    if interpret is None:
+        # interpret off-TPU so dense()-level tests exercise this path on the
+        # CPU test backend (same pattern as the fused MusicGen decode step)
+        interpret = jax.default_backend() != "tpu"
     *lead, K = x.shape
     Kw, N = kernel_q.shape
     assert K == Kw, (x.shape, kernel_q.shape)
@@ -142,11 +146,13 @@ def _quant_kernel(x_ref, xq_ref, sx_ref):
     sx_ref[:] = sx
 
 
-def quantize_rows(x, *, block_m: int = 256, interpret: bool = False):
+def quantize_rows(x, *, block_m: int = 256, interpret: bool | None = None):
     """Single-pass per-row int8 quantization: (..., K) → int8 (..., K) +
     f32 (..., 1) scales, reading x from HBM exactly once (the XLA
     formulation takes two passes: amax reduction, then scale+round). Used
     when the full fused matmul is not applicable but the int8 dot is."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]

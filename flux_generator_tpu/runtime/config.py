@@ -54,15 +54,25 @@ def use_pallas_int4() -> bool:
     return _flag("FGT_PALLAS_INT4")
 
 
-def use_pallas_w8a8() -> bool:
-    """W8A8 matmuls through the fused Pallas kernel
-    (ops/pallas/w8a8_matmul.py): per-(row, k-block) activation quantization
-    happens IN VMEM inside the matmul instead of as two extra XLA passes
-    over the activations (amax reduction + int8 materialization) — the
-    overhead that held the r3 int8 datapath at 51% of the MXU peak.
-    Only active when w8a8_enabled() already selected the int8-activation
-    path. auto = on for TPU."""
-    return _flag("FGT_PALLAS_W8A8")
+def w8a8_impl() -> str:
+    """Which W8A8 activation-quant formulation ops/linear.dense uses when
+    w8a8_enabled() selected the int8-activation path (FGT_W8A8_IMPL):
+      "pq"     — one-pass Pallas row-quantizer (ops/pallas/w8a8_matmul.
+                 quantize_rows) feeding the XLA int8 dot. Default on TPU:
+                 XLA's int8 matmul measures at/near the 394 TOPS peak on the
+                 flux hot shapes (scripts/prof_w8a8.py), so only the
+                 separate amax pass is worth removing.
+      "pallas" — fully fused Pallas matmul (quant + int8 MXU dots + dequant
+                 epilogue in one pallas_call).
+      "xla"    — discrete XLA ops (amax + round + dot); the only choice off
+                 TPU (the kernels are TPU Mosaic programs).
+    auto = "pq" on TPU, "xla" elsewhere."""
+    import jax
+
+    v = os.environ.get("FGT_W8A8_IMPL", "auto").lower()
+    if v == "auto":
+        return "pq" if jax.default_backend() == "tpu" else "xla"
+    return v if v in ("pq", "pallas", "xla") else "xla"
 
 
 # ------------------------------------------------------------- call-time knobs

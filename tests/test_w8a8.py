@@ -91,3 +91,28 @@ def test_supported_guards():
     assert not supported(100, jnp.ones((64,)))          # K doesn't tile
     assert not supported(1024, jnp.ones((8, 64)))       # grouped scales
     assert supported(1024, jnp.ones((64,)))
+
+
+@pytest.mark.parametrize("impl", ["pq", "pallas"])
+def test_dense_w8a8_impl_parity(impl, monkeypatch):
+    """ops/linear.dense with FGT_W8A8=1 + each FGT_W8A8_IMPL must agree with
+    the XLA formulation (tolerance = activation-quant granularity). Runs the
+    kernels in interpret mode on the CPU test backend."""
+    from flux_generator_tpu.ops import linear
+
+    monkeypatch.setenv("FGT_W8A8_IMPL", impl)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 48, 512), jnp.float32)
+    _, wq, ws = _mk(jax.random.PRNGKey(6), 4, 512, 256)
+    p = {"kernel_q": wq, "kernel_scale": ws,
+         "bias": jnp.arange(256, dtype=jnp.float32) * 0.01}
+    linear.set_w8a8(True)
+    try:
+        monkeypatch.setenv("FGT_W8A8_IMPL", "xla")
+        ref = linear.dense(p, x)
+        monkeypatch.setenv("FGT_W8A8_IMPL", impl)
+        out = linear.dense(p, x)
+    finally:
+        linear.set_w8a8(None)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert out.shape == ref.shape
+    assert float(jnp.max(jnp.abs(out - ref))) / scale < 0.03
