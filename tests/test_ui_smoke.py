@@ -167,3 +167,99 @@ def test_preset_models_match_dropdown():
     presets = set(re.findall(r"^  '([^']+)': \{steps:", ui.INDEX_HTML, re.M))
     options = set(re.findall(r'<option value="([^"]+)"', ui.INDEX_HTML))
     assert presets <= options, f"PRESETS keys not in any dropdown: {presets - options}"
+
+
+# ------------------------------------------------- JS contract (no engine)
+# There is no JS engine or browser in this environment (no node, no
+# chromium), so the inline JS cannot be EXECUTED in CI. These tests instead
+# mechanically extract the JS's data flow — the request payload it builds
+# and every field it reads off each parsed response — and replay that
+# contract against a live server. A renamed response field, a removed
+# endpoint, or structurally broken JS (unbalanced braces/parens/strings)
+# fails loudly; only pure logic typos remain uncovered.
+
+
+def _script_block() -> str:
+    m = re.search(r"<script>(.*)</script>", ui.INDEX_HTML, re.S)
+    assert m, "no <script> block in the UI page"
+    return m.group(1)
+
+
+def test_js_structural_sanity():
+    """Balanced braces/brackets/parens outside string literals, and every
+    string/template literal closed — the typo classes that silently kill the
+    whole script at parse time in a real browser."""
+    js = _script_block()
+    stack = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    i, n = 0, len(js)
+    in_str = None  # current quote char or None
+    while i < n:
+        ch = js[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == in_str:
+                in_str = None
+            elif in_str != "`" and ch == "\n":
+                raise AssertionError(f"unterminated {in_str}-string near char {i}")
+        elif ch in "'\"`":
+            in_str = ch
+        elif ch == "/" and i + 1 < n and js[i + 1] == "/":
+            i = js.find("\n", i)
+            if i == -1:
+                break
+            continue
+        elif ch in "([{":
+            stack.append(ch)
+        elif ch in ")]}":
+            assert stack and stack[-1] == pairs[ch], \
+                f"unbalanced {ch!r} near char {i}: ...{js[max(0,i-60):i+1]!r}"
+            stack.pop()
+        i += 1
+    assert in_str is None, "unterminated string at end of script"
+    assert not stack, f"unclosed {stack!r} at end of script"
+
+
+def _fetch_segments():
+    """Split the JS at each fetch('<path>') and pair every segment with the
+    variable its response JSON is bound to plus all fields read off it."""
+    js = _script_block()
+    out = []
+    sites = [(m.start(), m.group(1)) for m in re.finditer(r"fetch\('([^']+)'", js)]
+    for idx, (pos, path) in enumerate(sites):
+        end = sites[idx + 1][0] if idx + 1 < len(sites) else len(js)
+        seg = js[pos:end]
+        m = re.search(r"(?:const|let)\s+(\w+)\s*=\s*await\s*(?:r\.json\(\)|\(await\s*fetch[^;]*\.json\(\))", seg)
+        if not m:  # fetch whose body is never parsed (none today)
+            continue
+        var = m.group(1)
+        fields = set(re.findall(rf"\b{var}\.(\w+)", seg))
+        # any-of pairs: `X.a || <expr with X.b>` — JS falls back, so the
+        # server may return either
+        anyof = set()
+        for a, b in re.findall(rf"{var}\.(\w+)\s*\|\|\s*\[?\s*{var}\.(\w+)", seg):
+            anyof |= {a, b}
+        # fields only read on the error path are not part of the 200 contract
+        err = set(re.findall(rf"throw new Error\({var}\.(\w+)", seg))
+        err |= set(re.findall(rf"!r\.ok[^;]*{var}\.(\w+)", seg))
+        out.append((path, fields - err, anyof))
+    return out
+
+
+def test_js_response_field_contract(server):
+    """Every field the JS reads off a 200 response must exist in the live
+    server's response to the JS-shaped payload (self-updating: a new
+    `data.foo` read in the UI adds itself to this contract)."""
+    segments = _fetch_segments()
+    assert segments, "no parsed fetch segments — extraction broke"
+    for path, fields, anyof in segments:
+        status, data = _request(server + path, UI_FETCH_PAYLOADS[path])
+        assert status == 200, f"{path} -> {status}"
+        required = fields - anyof
+        missing = {f for f in required if f not in data}
+        assert not missing, f"{path}: JS reads {missing} but response has {sorted(data)}"
+        if anyof:
+            assert anyof & set(data), \
+                f"{path}: JS falls back across {anyof}, none present"
