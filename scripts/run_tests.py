@@ -1,9 +1,24 @@
 #!/usr/bin/env python3
-"""Test runner (parity: test/run_tests.py — import-check each module first,
-then run pytest)."""
+"""Tiered test runner (parity: test/run_tests.py — import-check each module
+first, then run pytest; VERDICT r3 next #7 adds tiers so the suite is
+actually run between rounds).
+
+Tiers:
+  quick (default)  — everything not marked slow/multiproc/tpu; target < 3
+                     minutes on an otherwise-idle machine. Run on every
+                     change.
+  full             — the whole matrix, including the multi-process
+                     jax.distributed tests and the weights-day selftest.
+                     Run once per round (wall time > 30 min; shard with
+                     `pytest tests/ -m slow --splits` style chunking if the
+                     machine is contended).
+
+Usage: python scripts/run_tests.py [--tier quick|full] [extra pytest args]
+"""
 
 from __future__ import annotations
 
+import argparse
 import importlib
 import pathlib
 import subprocess
@@ -13,6 +28,10 @@ ROOT = pathlib.Path(__file__).parent.parent
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", choices=["quick", "full"], default="quick")
+    args, extra = ap.parse_known_args()
+
     sys.path.insert(0, str(ROOT))
     failures = []
     pkg = ROOT / "flux_generator_tpu"
@@ -26,10 +45,13 @@ def main() -> int:
         for mod, e in failures:
             print(f"[import FAIL] {mod}: {e}")
         return 1
-    print(f"[ok] all modules import")
-    return subprocess.call(
-        [sys.executable, "-m", "pytest", str(ROOT / "tests"), "-q"]
-    )
+    print("[ok] all modules import")
+
+    cmd = [sys.executable, "-m", "pytest", str(ROOT / "tests"), "-q"]
+    if args.tier == "quick":
+        cmd += ["-m", "not slow and not multiproc and not tpu"]
+    cmd += extra
+    return subprocess.call(cmd)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,9 @@ from flux_generator_tpu.ops.pallas.decode_layer import (
 )
 from flux_generator_tpu.runtime.config import set_musicgen_fused
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     # ffn = 4h (the chunk schedule's assumption; the real model is 4h too)

@@ -13,6 +13,9 @@ from flux_generator_tpu.io import sanitize
 from flux_generator_tpu.io.loaders import conform_params
 from flux_generator_tpu.io.params import unflatten
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 
 

@@ -13,6 +13,9 @@ from flux_generator_tpu.io.loaders import conform_params
 from flux_generator_tpu.io.params import unflatten
 from flux_generator_tpu.models.musicgen import model as mg
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 
 

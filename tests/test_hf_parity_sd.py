@@ -22,6 +22,7 @@ torch = pytest.importorskip("torch")
 
 from flux_generator_tpu.models.sd.config import UNetConfig, tiny_unet_config  # noqa: E402
 from flux_generator_tpu.models.sd.unet import (  # noqa: E402
+
     _init_resnet,
     _init_transformer2d,
     _resnet,
@@ -29,6 +30,9 @@ from flux_generator_tpu.models.sd.unet import (  # noqa: E402
     compute_temb,
     init_unet,
 )
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 def _t(x):

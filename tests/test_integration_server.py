@@ -12,6 +12,9 @@ from flux_generator_tpu.pipelines.flux import FluxPipeline
 from flux_generator_tpu.server.api import FluxAPI
 from flux_generator_tpu.server.httpd import Server
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 class _TokStub:
     def encode(self, texts, **kw):

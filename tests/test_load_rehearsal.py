@@ -13,10 +13,14 @@ import numpy as np
 import pytest
 
 from flux_generator_tpu.io.synthetic import (
+
     make_flux_cache,
     make_musicgen_cache,
     make_sd_cache,
 )
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -4,11 +4,16 @@ import numpy as np
 
 from flux_generator_tpu.models.flux.model import flux_forward, init_flux, tiny_flux_config
 from flux_generator_tpu.training.lora import (
+
     apply_lora_to_flux,
     fuse_lora,
     lora_block_mask,
     lora_only_filter,
 )
+import pytest
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 def _inputs(cfg, b=1, l_img=4, l_txt=2):

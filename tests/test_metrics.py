@@ -7,6 +7,9 @@ import pytest
 
 from flux_generator_tpu.utils.metrics import LPIPS, compare_images, psnr, ssim
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 def _img(seed, h=32, w=32):
     return np.random.RandomState(seed).rand(h, w, 3)

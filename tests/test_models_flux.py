@@ -14,10 +14,15 @@ from flux_generator_tpu.models.flux.model import (
     tiny_flux_config,
 )
 from flux_generator_tpu.models.flux.sampler import (
+
     add_noise,
     flux_step,
     flux_timesteps,
 )
+import pytest
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 def _flux_inputs(cfg, b=2, l_img=8, l_txt=4):

@@ -12,6 +12,9 @@ from flux_generator_tpu.models.sd.config import (
 from flux_generator_tpu.models.sd.unet import init_unet, unet_forward
 from flux_generator_tpu.models.sd.vae import init_sd_vae, sd_vae_decode, sd_vae_encode
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 def test_sigmas_monotone():
     sig = smp.make_sigmas(DiffusionConfig())

@@ -35,6 +35,9 @@ from flux_generator_tpu.pipelines.flux import FluxPipeline
 from flux_generator_tpu.training.dreambooth import build_parser, train
 from flux_generator_tpu.training.datasets import load_dataset
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = [pytest.mark.slow, pytest.mark.multiproc]
+
 class Tok:
     def encode(self, texts, **kw):
         if isinstance(texts, str): texts = [texts]

@@ -4,11 +4,15 @@ import numpy as np
 import pytest
 
 from flux_generator_tpu.pipelines.flux import (
+
     FluxPipeline,
     latent_ids,
     pack_latents,
     unpack_latents,
 )
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 def test_pack_unpack_roundtrip():

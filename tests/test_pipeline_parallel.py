@@ -14,9 +14,13 @@ from jax.sharding import Mesh
 
 from flux_generator_tpu.models.flux.model import flux_forward, init_flux, tiny_flux_config
 from flux_generator_tpu.parallel.pipeline import (
+
     pipeline_scan,
     shard_pipeline_params,
 )
+
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
 
 
 def _pipe_mesh(n):

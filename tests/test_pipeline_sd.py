@@ -7,6 +7,9 @@ import pytest
 
 from flux_generator_tpu.pipelines.sd import StableDiffusion, StableDiffusionXL
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 class _FakeTokenizer:
     def tokenize(self, text):

@@ -23,6 +23,9 @@ import pytest
 from flux_generator_tpu.ops.linear import dense, init_dense, set_w8a8
 from flux_generator_tpu.ops.quant import quantize_dense
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 DEPTH = 24
 DIM = 512

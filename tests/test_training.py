@@ -21,6 +21,9 @@ from flux_generator_tpu.training.datasets import LegacyDataset, LocalDataset, lo
 from flux_generator_tpu.training.dreambooth import build_parser, train
 from flux_generator_tpu.training.lora import apply_lora_to_flux
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = pytest.mark.slow
+
 
 def _make_dataset(tmp_path, n=2):
     from PIL import Image

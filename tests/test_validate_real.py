@@ -6,6 +6,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 ROOT = Path(__file__).resolve().parents[1]
 
@@ -72,3 +73,24 @@ def test_flux_fingerprints_shape_contract():
     fps2 = vr.flux_fingerprints(pipe)
     assert fps == fps2
     assert vr.compare_fingerprints(fps, fps2) is None
+
+
+@pytest.mark.slow
+def test_validate_real_selftest_end_to_end():
+    """Run the ENTIRE weights-day kit once per round (VERDICT r3 next #10):
+    `validate_real.py --selftest` builds synthetic full-format checkpoint
+    caches, loads them through the real io.loaders path, and checks every
+    gate it would check on real weights. Keeps the rehearsal from rotting
+    between rounds."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "validate_real.py"
+    proc = subprocess.run(
+        [sys.executable, str(script), "--selftest"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "checks passed" in proc.stdout, proc.stdout[-3000:]
+    assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
