@@ -156,7 +156,11 @@ def quantize_rows(x, *, block_m: int = 256, interpret: bool | None = None):
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    bm = min(block_m, max(16, -(-M // 16) * 16))
+    # block must fit scoped VMEM (~16 MB): double-buffered bf16 in + int8
+    # out ≈ 6 bytes/elem x 2 buffers ⇒ cap bm so bm*K*6 <= ~11 MB (K=12288
+    # at bm=256 was 18 MB and OOM'd the 2048² denoise)
+    bm_cap = max(16, (11 * 1024 * 1024 // (6 * K)) // 16 * 16)
+    bm = min(block_m, bm_cap, max(16, -(-M // 16) * 16))
     x2 = _pad_to(x2, bm, 0)
     Mp = x2.shape[0]
     xq, sx = pl.pallas_call(
