@@ -147,14 +147,16 @@ def dense(p, x):
             # scales x per-out-channel weight scales. Three formulations of
             # the activation quant (FGT_W8A8_IMPL, measured by
             # scripts/prof_w8a8.py):
+            #   xla    — amax + round + dot as discrete XLA ops. DEFAULT:
+            #            in the full denoise program XLA overlaps the quant
+            #            passes with MXU work, so the Pallas variants win
+            #            only standalone; xla is proven at every geometry.
             #   pq     — one-pass Pallas row-quantizer feeding the XLA int8
-            #            dot (saves the separate amax pass; XLA's int8
-            #            matmul scheduling measures at/near the 394 TOPS
-            #            peak on the big flux shapes, so keep it)
+            #            dot (standalone winner; at >=4k-token geometries
+            #            XLA VMEM-places its int8 output inside the loop
+            #            and compile OOMs)
             #   pallas — fully fused matmul (quant + int8 dots + dequant in
-            #            one pallas_call; ~250 TOPS-eff standalone)
-            #   xla    — amax + round + dot as discrete XLA ops (2 extra
-            #            activation passes)
+            #            one pallas_call; loses in-program)
             y = None
             m_rows = x.size // x.shape[-1]
             if p["kernel_q"].ndim == 2 and m_rows >= 16:

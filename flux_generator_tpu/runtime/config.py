@@ -57,21 +57,24 @@ def use_pallas_int4() -> bool:
 def w8a8_impl() -> str:
     """Which W8A8 activation-quant formulation ops/linear.dense uses when
     w8a8_enabled() selected the int8-activation path (FGT_W8A8_IMPL):
+      "xla"    — discrete XLA ops (amax + round + dot). DEFAULT: measured
+                 e2e it ties "pq" (0.441 vs 0.454 s flux 512² same session)
+                 because XLA already overlaps the quant passes with MXU
+                 work inside the big program, and it is the only
+                 formulation proven at every geometry — at dev-1024²/2048²
+                 token counts XLA places the pq kernel's int8 output in
+                 scoped VMEM inside the denoise loop and compile OOMs
+                 ("scoped allocation 23.97M exceeded 16.00M").
       "pq"     — one-pass Pallas row-quantizer (ops/pallas/w8a8_matmul.
-                 quantize_rows) feeding the XLA int8 dot. Default on TPU:
-                 XLA's int8 matmul measures at/near the 394 TOPS peak on the
-                 flux hot shapes (scripts/prof_w8a8.py), so only the
-                 separate amax pass is worth removing.
+                 quantize_rows) feeding the XLA int8 dot; wins standalone
+                 microbenches (325-407 vs 255-381 TOPS-eff,
+                 scripts/prof_w8a8.py) but not in-program.
       "pallas" — fully fused Pallas matmul (quant + int8 MXU dots + dequant
-                 epilogue in one pallas_call).
-      "xla"    — discrete XLA ops (amax + round + dot); the only choice off
-                 TPU (the kernels are TPU Mosaic programs).
-    auto = "pq" on TPU, "xla" elsewhere."""
-    import jax
-
+                 epilogue in one pallas_call); loses in-program (0.654 s).
+    """
     v = os.environ.get("FGT_W8A8_IMPL", "auto").lower()
     if v == "auto":
-        return "pq" if jax.default_backend() == "tpu" else "xla"
+        return "xla"
     return v if v in ("pq", "pallas", "xla") else "xla"
 
 

@@ -44,7 +44,7 @@ FGT_W8A8=1 FGT_W8A8_IMPL=xla run_stage flux_w8a8_xla 5400 \
   python bench.py --config flux-schnell
 
 # 5. flux 2048^2 W8A8 with the winning impl (r3: 13.4 s XLA W8A8)
-FGT_W8A8=1 FGT_W8A8_IMPL=pq run_stage flux_2048_w8a8_pq 7200 \
+FGT_W8A8=1 run_stage flux_2048_w8a8 7200 \
   python bench.py --config flux-denoise --size 2048
 
 # 6/7. flux-dev at serving depth (25 steps, native 1024^2)
@@ -52,8 +52,10 @@ run_stage dev_25step_int8 7200 python scripts/prove_flux_dev.py --size 1024 --st
 FGT_W8A8=1 run_stage dev_25step_w8a8 7200 \
   python scripts/prove_flux_dev.py --size 1024 --steps 25
 
-# 8. musicgen: v3 at short + long form, v1 long control, batched AR n=4
+# 8. musicgen: v3 at short + long form, v1/v2 controls, batched AR n=4
 FGT_MG_FUSED_IMPL=v3 run_stage mg_v3_200 5400 \
+  python bench.py --config musicgen-e2e --steps 200
+FGT_MG_FUSED_IMPL=v2 run_stage mg_v2_200 5400 \
   python bench.py --config musicgen-e2e --steps 200
 FGT_MG_FUSED_IMPL=v3 run_stage mg_v3_2500 7200 \
   python bench.py --config musicgen-e2e --steps 2500
