@@ -64,4 +64,17 @@ FGT_MG_FUSED_IMPL=v1 run_stage mg_v1_2500 7200 \
 FGT_MG_FUSED_IMPL=v3 FGT_QUANTIZE=1 run_stage mg_v3_b4 5400 \
   python bench.py --config musicgen --steps 500 --batch 4
 
+# 9. batch-aware threshold validation (VERDICT r3 #2 tail): the 1500-step
+# v2->v1 crossover was measured at n=1; at n=4 (CFG batch 8) the VMEM window
+# footprint is 4x, so the cliff should arrive ~4x earlier. Measure both
+# impls at n=4, 500 steps (past the predicted ~375-step batched crossover).
+FGT_MG_FUSED_IMPL=v2 FGT_QUANTIZE=1 run_stage mg_v2_b4 5400 \
+  python bench.py --config musicgen --steps 500 --batch 4
+FGT_MG_FUSED_IMPL=v1 FGT_QUANTIZE=1 run_stage mg_v1_b4 5400 \
+  python bench.py --config musicgen --steps 500 --batch 4
+FGT_MG_FUSED_IMPL=v2 FGT_QUANTIZE=1 run_stage mg_v2_b4_200 5400 \
+  python bench.py --config musicgen --steps 200 --batch 4
+FGT_MG_FUSED_IMPL=v1 FGT_QUANTIZE=1 run_stage mg_v1_b4_200 5400 \
+  python bench.py --config musicgen --steps 200 --batch 4
+
 echo "all stages attempted; logs in $OUT"
