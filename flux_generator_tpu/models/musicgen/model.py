@@ -352,9 +352,9 @@ def generate(
 
     fused = musicgen_fused_step() and cfg.ffn_dim == 4 * cfg.hidden_size
     # v2 (blocked-input cache delivery) thrashes VMEM past ~1500-step
-    # windows; v1 (manual chunk DMA) holds — measured crossover in
-    # runtime.config.musicgen_fused_max_steps
-    fused_impl = musicgen_fused_impl_for(max_steps)
+    # windows at n=1; v1 (manual chunk DMA) holds, and ties v2 at batched
+    # n — measured routing in runtime.config.musicgen_fused_impl_for
+    fused_impl = musicgen_fused_impl_for(max_steps, n_samples=n)
     if fused:
         from ...ops.pallas.decode_layer import packable, pack_decode_weights
 

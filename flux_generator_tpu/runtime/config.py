@@ -262,11 +262,21 @@ def musicgen_fused_impl() -> str:
     return v if v in ("v1", "v2", "v3", "auto") else "auto"
 
 
-def musicgen_fused_impl_for(max_steps: int) -> str:
-    """Resolve the fused-kernel impl for a concrete AR-loop length."""
+def musicgen_fused_impl_for(max_steps: int, n_samples: int = 1) -> str:
+    """Resolve the fused-kernel impl for a concrete AR loop.
+
+    n=1: v2 up to musicgen_fused_max_steps() (measured crossover), v1
+    beyond. n>1 (batched serving): always v1 — r4 measured v1 ≡ v2 at n=4
+    for both 200 steps (3.73 vs 3.68 ms/step) and 500 steps (5.08 vs
+    5.09), so v2 has no batched advantage, and picking v1 removes the
+    unvalidated region where the 4×-larger K/V window footprint could hit
+    v2's VMEM cliff at some unmeasured step count (BENCH_RESULTS
+    'batched crossover validation')."""
     v = musicgen_fused_impl()
     if v != "auto":
         return v
+    if n_samples > 1:
+        return "v1"
     return "v2" if max_steps <= musicgen_fused_max_steps() else "v1"
 
 

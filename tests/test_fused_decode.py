@@ -311,6 +311,15 @@ def test_fused_impl_window_switch():
         set_musicgen_fused_max_steps(None)
     assert musicgen_fused_impl_for(1500) == "v2"
     assert musicgen_fused_impl_for(1501) == "v1"
+    # batched serving always routes v1: r4 measured v1 ≡ v2 at n=4 (200 and
+    # 500 steps), and v1 has no VMEM cliff at any window
+    assert musicgen_fused_impl_for(200, n_samples=4) == "v1"
+    assert musicgen_fused_impl_for(1500, n_samples=2) == "v1"
+    set_musicgen_fused_impl("v2")
+    try:
+        assert musicgen_fused_impl_for(200, n_samples=4) == "v2"
+    finally:
+        set_musicgen_fused_impl(None)
 
     # generate() above the threshold runs the v1 kernel end-to-end
     cfg, params, _, _, _, _ = make_setup(False)

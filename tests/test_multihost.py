@@ -19,6 +19,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# full-matrix tier: wall time exceeds the quick-tier budget
+pytestmark = [pytest.mark.slow, pytest.mark.multiproc]
+
 _WORKER = r"""
 import os, sys, json
 import jax
@@ -34,9 +37,6 @@ from pathlib import Path
 from flux_generator_tpu.pipelines.flux import FluxPipeline
 from flux_generator_tpu.training.dreambooth import build_parser, train
 from flux_generator_tpu.training.datasets import load_dataset
-
-# full-matrix tier: wall time exceeds the quick-tier budget
-pytestmark = [pytest.mark.slow, pytest.mark.multiproc]
 
 class Tok:
     def encode(self, texts, **kw):
