@@ -4,14 +4,14 @@ first, then run pytest; VERDICT r3 next #7 adds tiers so the suite is
 actually run between rounds).
 
 Tiers:
-  quick (default)  — everything not marked slow/multiproc/tpu; target < 3
-                     minutes on an otherwise-idle machine. Run on every
-                     change.
+  quick (default)  — everything not marked slow/multiproc/tpu; measured
+                     2:56 for 154 tests on the idle 1-core CPU machine
+                     (r4). Run on every change.
   full             — the whole matrix, including the multi-process
-                     jax.distributed tests and the weights-day selftest.
-                     Run once per round (wall time > 30 min; shard with
-                     `pytest tests/ -m slow --splits` style chunking if the
-                     machine is contended).
+                     jax.distributed tests, the golden/twin parity pins,
+                     and the weights-day selftest. Run once per round
+                     (wall time > 30 min; shard with `pytest tests/ -m
+                     slow` style chunking if the machine is contended).
 
 Usage: python scripts/run_tests.py [--tier quick|full] [extra pytest args]
 """

@@ -9,9 +9,14 @@ import pytest
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
-pytestmark = pytest.mark.skipif(
-    not GOLDEN.exists(), reason="golden fixtures not generated"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not GOLDEN.exists(), reason="golden fixtures not generated"
+    ),
+    # full-matrix tier: each fixture compiles a full tiny pipeline (~80 s
+    # total on the 1-core CPU test machine)
+    pytest.mark.slow,
+]
 
 
 def test_flux_golden():

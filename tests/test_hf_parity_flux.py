@@ -15,6 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full-matrix tier: the torch twin build costs ~20 s on the 1-core CPU machine
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 from flux_generator_tpu.models.flux.model import (  # noqa: E402

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flux_generator_tpu.models.clip.text import (
     clip_text_forward,
@@ -62,6 +63,7 @@ def test_t5_encode_shape():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_t5_decode_full_vs_cached():
     """Incremental cached decoding must match full-sequence decoding."""
     cfg = tiny_t5_config()

@@ -8,6 +8,10 @@ come from different sources, closing the same-author blind spot."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# full-matrix tier: the float64 twin compile costs ~40 s on the 1-core CPU machine
+pytestmark = pytest.mark.slow
 
 from flux_generator_tpu.models.sd.config import tiny_unet_config
 from flux_generator_tpu.models.sd.unet import init_unet, unet_forward

@@ -77,6 +77,7 @@ def test_flash_streamed_with_rope():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_flash_one_shot_prerotated_rope(monkeypatch):
     """LONG one-shot calls (l_pad > _PREROTATE_MAX) pre-rotate q/k in HBM
     instead of loading full-length K rope tables into VMEM — the path the
@@ -138,8 +139,11 @@ def test_flash_fused_rope_matches_unfused():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-@pytest.mark.parametrize("l,use_rope", [(192, False), (192, True),
-                                        (2560, False), (2560, True)])
+@pytest.mark.parametrize("l,use_rope", [
+    (192, False), (192, True),
+    pytest.param(2560, False, marks=pytest.mark.slow),
+    pytest.param(2560, True, marks=pytest.mark.slow),
+])
 def test_flash_backward_matches_xla(l, use_rope):
     """custom-VJP blocked backward (dQ + dKV passes) must match XLA autodiff
     through the reference attention — both one-shot (192, padded) and

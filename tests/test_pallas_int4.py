@@ -16,7 +16,11 @@ def _quantized(key, K, N, group_size=None):
     return quantize_dense(p, bits=4, group_size=group_size, pack=True)
 
 
-@pytest.mark.parametrize("group_size", [None, 128, 256])
+@pytest.mark.parametrize("group_size", [
+    None,
+    pytest.param(128, marks=pytest.mark.slow),
+    pytest.param(256, marks=pytest.mark.slow),
+])
 def test_int4_matmul_matches_dense(group_size):
     K, N, M = 2048, 640, 96
     q = _quantized(jax.random.PRNGKey(0), K, N, group_size)
@@ -27,6 +31,7 @@ def test_int4_matmul_matches_dense(group_size):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int4_matmul_batched_lead_dims():
     K, N = 2048, 512
     q = _quantized(jax.random.PRNGKey(2), K, N, 128)
@@ -63,6 +68,7 @@ def test_supported_predicate():
     (1536, 640, 33, 128),   # bk=256 path (Kp=768)
     (2048, 128, 8, 256),
 ])
+@pytest.mark.slow
 def test_int4_matmul_shape_sweep(K, N, M, gs):
     """Shape fuzz across block-padding and bk-selection paths."""
     q = _quantized(jax.random.PRNGKey(K + N), K, N, gs)

@@ -31,6 +31,7 @@ def test_sharding_rules_classify_kernels():
     assert shardings["double_blocks"]["img_attn"]["q_norm"]["scale"].spec == P()
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_replicated():
     """Tensor-parallel sharded flux forward must equal the single-device
     result bit-for-bit up to float tolerance."""
@@ -59,6 +60,7 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_shard_denoise():
     """FluxPipeline.shard() TP-shards weights; denoise still matches the
     unsharded result."""
@@ -79,6 +81,7 @@ def test_pipeline_shard_denoise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dp_batch_sharded_forward():
     cfg = tiny_flux_config()
     params = init_flux(jax.random.PRNGKey(0), cfg)

@@ -53,6 +53,7 @@ def test_recorder_inputs_locked_to_harness():
     rr.selfcheck()
 
 
+@pytest.mark.slow
 def test_flux_fingerprints_shape_contract():
     """validate_real.flux_fingerprints emits the same JSON schema as
     checksum_activations / the reference recorder."""

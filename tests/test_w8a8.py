@@ -39,6 +39,7 @@ def _xla_w8a8(x, wq, ws):
 
 @pytest.mark.parametrize("shape", [(64, 1024, 256), (200, 1536, 700),
                                    (16, 512, 128)])
+@pytest.mark.slow
 def test_w8a8_matmul_parity(shape):
     M, K, N = shape
     x, wq, ws = _mk(jax.random.PRNGKey(0), M, K, N)
