@@ -143,6 +143,18 @@ def precompute_cross_kv(params, cfg: MusicGenConfig, conditioning):
     return jax.vmap(one, in_axes=(0,))(params["layers"])
 
 
+def kv_cache_dtype(activation_dtype):
+    """Storage dtype for the self-attention KV caches: the activation dtype,
+    or float8_e4m3fn under FGT_MG_KV=f8 (halves the window HBM traffic that
+    grows with generation length — the long-form realtime cap; the math
+    stays bf16, rows are rounded to f8 on insert and widened on read)."""
+    from ...runtime.config import musicgen_kv_dtype
+
+    if musicgen_kv_dtype() == "f8":
+        return jnp.float8_e4m3fn
+    return activation_dtype
+
+
 def init_kv_cache(cfg: MusicGenConfig, batch: int, max_steps: int, dtype):
     shape = (cfg.num_hidden_layers, batch, max_steps, cfg.num_attention_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
@@ -191,11 +203,13 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         q = _heads(qkv[..., :hid], h)
         k_new = _heads(qkv[..., hid : 2 * hid], h)
         v_new = _heads(qkv[..., 2 * hid :], h)
-        kc_all = jax.lax.dynamic_update_slice(kc_all, k_new[None], (li, 0, offset, 0, 0))
-        vc_all = jax.lax.dynamic_update_slice(vc_all, v_new[None], (li, 0, offset, 0, 0))
+        kc_all = jax.lax.dynamic_update_slice(
+            kc_all, k_new[None].astype(kc_all.dtype), (li, 0, offset, 0, 0))
+        vc_all = jax.lax.dynamic_update_slice(
+            vc_all, v_new[None].astype(vc_all.dtype), (li, 0, offset, 0, 0))
         kc = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
-        attn = dot_product_attention(q, kc, vc, mask=mask)
+        attn = dot_product_attention(q, kc.astype(dtype), vc.astype(dtype), mask=mask)
         x = x + dense(p["self_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm_cross"])
@@ -374,10 +388,10 @@ def generate(
         # kernel DMA slice must be 8-row aligned (rows beyond `offset` are
         # masked in-kernel, so the pad rows are never attended)
         w_alloc = -(-max_steps // 8) * 8
-        k_cache = jnp.zeros((L_, B2, w_alloc, cfg.hidden_size), dtype)
+        k_cache = jnp.zeros((L_, B2, w_alloc, cfg.hidden_size), kv_cache_dtype(dtype))
         v_cache = jnp.zeros_like(k_cache)
     else:
-        k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, dtype)
+        k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, kv_cache_dtype(dtype))
 
     audio_seq = jnp.full((n, max_steps + 1, K), cfg.bos_token_id, jnp.int32)
 

@@ -311,7 +311,9 @@ def _kernel(
             if j + 1 < n_chunks:
                 read_chunk(j + 1, slot ^ 1)
             for b in range(B):
-                kc = kbuf[slot, b]                        # (C, H) bf16
+                # f8 (FGT_MG_KV) caches load as stored dtype; the VPU math
+                # is bf16 either way
+                kc = kbuf[slot, b].astype(jnp.bfloat16)   # (C, H)
                 vc = vbuf[slot, b]
                 lo = head_sum(qs[b] * kc, seg)            # (C, nh)
                 pos = j * chunk + jax.lax.broadcasted_iota(
@@ -483,7 +485,7 @@ def _kernel2(
         seg, seg_t = seg_mats()
         for b in range(B):
             qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
-            kcb = kc_ref[0, b]                            # (chunk, H) bf16
+            kcb = kc_ref[0, b].astype(jnp.bfloat16)       # (chunk, H)
             vcb = vc_ref[0, b]
             lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
             pos = j * chunk + jax.lax.broadcasted_iota(
@@ -704,7 +706,7 @@ def _kernel3(
         seg, seg_t = seg_mats()
         for b in range(B):
             qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
-            kcb = kc_ref[0, b]                            # (chunk, H) bf16
+            kcb = kc_ref[0, b].astype(jnp.bfloat16)       # (chunk, H)
             vcb = vc_ref[0, b]
             lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
             pos = j * chunk + jax.lax.broadcasted_iota(
@@ -1058,7 +1060,9 @@ def fused_decode_step(
 
     packed: pack_decode_weights output; x: (B, H) bf16 embedded token (+pos);
     cross_k/v: (L, B, S, H) bf16; offset: int32 scalar; k/v_cache:
-    (L, B, W, H) bf16 with W a multiple of 8 (Mosaic tiles the window axis).
+    (L, B, W, H) bf16 — or float8_e4m3fn under FGT_MG_KV=f8 (loads widen to
+    bf16 in-kernel, new rows round on the way out; halves the window DMA
+    traffic) — with W a multiple of 8 (Mosaic tiles the window axis).
     The kernel reads the caches; the new K/V rows come back as (L, B, H)
     outputs and are inserted at `offset` with one dynamic_update_slice here.
     Returns (y (B, H) bf16, k_cache, v_cache)."""

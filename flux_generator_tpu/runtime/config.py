@@ -280,6 +280,29 @@ def musicgen_fused_impl_for(max_steps: int, n_samples: int = 1) -> str:
     return "v2" if max_steps <= musicgen_fused_max_steps() else "v1"
 
 
+def set_musicgen_kv_dtype(d: str | None = None):
+    """Force the MusicGen self-attention KV-cache storage dtype (None =
+    back to FGT_MG_KV / default bf16)."""
+    if d is not None and d not in ("bf16", "f8"):
+        raise ValueError(f"kv dtype must be bf16|f8, got {d!r}")
+    _KNOBS["mg_kv_dtype"] = d
+
+
+def musicgen_kv_dtype() -> str:
+    """Storage dtype for the MusicGen decoder's self-attention KV cache:
+    "bf16" (default, bit-exact with the reference math) or "f8"
+    (float8_e4m3fn — halves the cache-window HBM traffic that grows with
+    generation length and caps long-form realtime; ~0.1-0.2% attention
+    output error, tests/test_musicgen.py::test_kv_cache_f8). FGT_MG_KV=f8
+    opts in; quality-gated OFF by default pending the real-weight listen
+    test (same policy as FGT_W8A8)."""
+    v = _KNOBS.get("mg_kv_dtype")
+    if v is not None:
+        return v
+    v = os.environ.get("FGT_MG_KV", "bf16").lower()
+    return "f8" if v in ("f8", "e4m3", "fp8", "float8") else "bf16"
+
+
 def use_pallas_lstm() -> bool:
     # default "auto" = ON for TPU backends (CPU uses the lax.scan LSTM; the
     # kernel is covered by interpret-mode tests). Round 1 shipped this

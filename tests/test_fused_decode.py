@@ -364,3 +364,47 @@ def test_fused_falls_back_on_unpackable():
     finally:
         set_musicgen_fused(None)
     assert codes.shape == (1, cfg.num_codebooks, 8 - cfg.num_codebooks + 1)
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
+def test_decode_step_parity_f8_cache(impl):
+    """f8 KV caches (FGT_MG_KV=f8) through every fused kernel: loads widen
+    to bf16 in-kernel, new rows round to f8 on the way out. Parity against
+    the XLA layer loop running the SAME f8 cache dtype; tolerances are
+    looser than bf16 because the two paths round to f8 from different
+    intermediate precisions (bf16 vs f32)."""
+    from flux_generator_tpu.runtime.config import set_musicgen_fused_impl
+
+    cfg, params, packed, cross_kv, b2, w = make_setup(False, w=16)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+    f8 = jnp.float8_e4m3fn
+
+    kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, f8)
+    kc_f = jnp.zeros((L, b2, w, h), f8)
+    vc_f = jnp.zeros_like(kc_f)
+    ckv_flat = tuple(a.reshape(L, b2, a.shape[2], h) for a in cross_kv)
+
+    key = jax.random.PRNGKey(2)
+    set_musicgen_fused_impl(impl)
+    try:
+        for off in range(4):
+            tok = jax.random.randint(
+                jax.random.fold_in(key, off), (b2, 1, cfg.num_codebooks), 0,
+                cfg.codebook_size,
+            )
+            lg_x, kc_x, vc_x = mg.decode_step(
+                params, cfg, tok, cross_kv, kc_x, vc_x, jnp.int32(off)
+            )
+            lg_f, kc_f, vc_f = mg.decode_step_fused(
+                packed, params, cfg, tok, ckv_flat, kc_f, vc_f, jnp.int32(off),
+                interpret=True,
+            )
+            a = np.asarray(lg_x, np.float32)
+            b = np.asarray(lg_f, np.float32)
+            denom = max(1e-3, float(np.abs(a).max()))
+            assert np.abs(a - b).max() / denom < 0.06, (
+                off, np.abs(a - b).max() / denom)
+    finally:
+        set_musicgen_fused_impl(None)
+    assert kc_f.dtype == f8

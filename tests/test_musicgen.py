@@ -228,3 +228,58 @@ def test_top_k_sample_respects_k():
     for seed in range(10):
         s = mg.top_k_sample(jax.random.PRNGKey(seed), logits, top_k=2, temperature=1.0)
         assert (np.asarray(s) < 2).all()
+
+
+def test_kv_cache_f8_close_to_bf16(musicgen):
+    """FGT_MG_KV=f8 stores the self-attention KV caches as float8_e4m3fn
+    (half the growing window traffic). The math stays in the activation
+    dtype — rows round to f8 on insert, widen on read — so multi-step
+    logits must track the bf16-cache run within e4m3 rounding noise."""
+    cfg = musicgen.cfg
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                     if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                     musicgen.params)
+    cond = (jax.random.normal(jax.random.PRNGKey(0), (2, 3, cfg.hidden_size))
+            * 0.3).astype(jnp.bfloat16)
+    cross_kv = mg.precompute_cross_kv(p, cfg, cond)
+
+    assert mg.kv_cache_dtype(jnp.bfloat16) == jnp.bfloat16  # default off
+    from flux_generator_tpu.runtime.config import set_musicgen_kv_dtype
+    set_musicgen_kv_dtype("f8")
+    try:
+        assert mg.kv_cache_dtype(jnp.bfloat16) == jnp.float8_e4m3fn
+    finally:
+        set_musicgen_kv_dtype(None)
+
+    w = 8
+    kc_b, vc_b = mg.init_kv_cache(cfg, 2, w, jnp.bfloat16)
+    kc_8, vc_8 = mg.init_kv_cache(cfg, 2, w, jnp.float8_e4m3fn)
+    for off in range(4):
+        toks = jax.random.randint(
+            jax.random.PRNGKey(10 + off), (2, 1, cfg.num_codebooks), 0,
+            cfg.codebook_size)
+        lg_b, kc_b, vc_b = mg.decode_step(
+            p, cfg, toks, cross_kv, kc_b, vc_b, jnp.asarray(off))
+        lg_8, kc_8, vc_8 = mg.decode_step(
+            p, cfg, toks, cross_kv, kc_8, vc_8, jnp.asarray(off))
+        a, b = np.asarray(lg_b, np.float32), np.asarray(lg_8, np.float32)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / denom < 0.06, np.abs(a - b).max() / denom
+    assert kc_8.dtype == jnp.float8_e4m3fn
+
+
+def test_generate_with_f8_kv_runs(musicgen):
+    """generate() under the knob: the whole jitted AR loop (cache alloc,
+    in-place updates, chunked windows) compiles and emits valid codes."""
+    from flux_generator_tpu.runtime.config import set_musicgen_kv_dtype
+    cfg = musicgen.cfg
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    set_musicgen_kv_dtype("f8")
+    try:
+        codes = mg.generate(musicgen.params, cfg, cond, max_steps=10,
+                            top_k=4, key=jax.random.PRNGKey(3))
+    finally:
+        set_musicgen_kv_dtype(None)
+    arr = np.asarray(codes)
+    assert codes.shape == (1, cfg.num_codebooks, 10 - cfg.num_codebooks + 1)
+    assert (arr >= 0).all() and (arr < cfg.codebook_size).all()
