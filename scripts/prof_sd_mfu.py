@@ -1,19 +1,22 @@
 #!/usr/bin/env python3
-"""SD UNet MFU gap study (r4, VERDICT r3 #4 follow-through).
+"""SD/SDXL UNet MFU gap study (r4, VERDICT r3 #4 follow-through).
 
-bench.py --config sd21 measures 7.0% MFU at 512² (108 ms / 1.49 TFLOP by
-XLA's own cost analysis). This script pins WHERE the time goes:
+With the corrected accounting (marginal step time, per-step flops),
+bench measures SD2.1 512² at 44.9% MFU (16.8 ms/step) and SDXL-Turbo
+1024² at 20.4% (64.2 ms/step). This script pins WHERE the remaining
+time goes:
 
   1. conv microbench — one 3×3 conv at each UNet level geometry, Δ-timed
-     over a 40-deep chain, vs its MXU FLOP floor. Shows whether XLA's TPU
-     conv lowering is the bottleneck.
-  2. batch sweep — UNet step at CFG batch 2/4/8. Flat = latency/overhead
+     between a 10- and a 50-deep chain, vs its MXU FLOP floor. Shows
+     whether XLA's TPU conv lowering is the bottleneck.
+  2. batch sweep — UNet step across batch sizes. Flat = latency/overhead
      bound; linear = compute/memory bound per op.
   3. attention Δ-stub — self+cross attention replaced by identity-on-v;
      the gap bounds total attention cost.
   4. FLOP audit — XLA cost analysis of the full step for cross-checking.
 
-Usage: python scripts/prof_sd_mfu.py [size]   (default 512)
+Usage: python scripts/prof_sd_mfu.py [--sdxl] [size]
+       (default 512; 1024 with --sdxl)
 """
 
 import pathlib
@@ -44,37 +47,46 @@ def _med(f, n=5):
 
 
 def conv_microbench():
-    """One 3×3 same-pad conv per UNet level geometry, Δ-timed between a
-    10-deep and a 50-deep chain (a single conv is microseconds — Δ vs a
-    1-deep run is swamped by ms-scale tunnel noise and gave negative
-    times in the first cut)."""
-    print("== conv microbench (3x3 NHWC, bf16, batch 2 = CFG batch) ==")
-    D1, D2 = 10, 50
-    for hw, c in [(64, 320), (32, 640), (16, 1280), (8, 1280)]:
+    """One 3×3 same-pad conv per UNet level geometry: a lax.scan over N
+    stacked DISTINCT weights (each conv must fetch its own kernel from HBM,
+    like the real UNet), timed as one program with N large enough that the
+    ~2 ms fixed dispatch+fetch cost is <3% — two earlier Δ-of-two-chains
+    protocols both produced negative/impossible per-conv times (tunnel
+    noise between separately-fetched runs exceeds 40 convs of work)."""
+    nb = 1 if SDXL else 2
+    levels = ([(128, 320), (64, 640), (32, 1280)] if SDXL
+              else [(64, 320), (32, 640), (16, 1280), (8, 1280)])
+    print(f"== conv microbench (3x3 NHWC, bf16, batch {nb}) ==")
+    N = 100
+    for hw, c in levels:
         k = jax.random.PRNGKey(0)
-        x = jax.random.normal(k, (2, hw, hw, c), jnp.bfloat16)
-        w = jax.random.normal(k, (3, 3, c, c), jnp.bfloat16) * 0.02
+        x = jax.random.normal(k, (nb, hw, hw, c), jnp.bfloat16)
+        ws = jax.random.normal(k, (N, 3, 3, c, c), jnp.bfloat16) * 0.02
 
-        def chain(depth):
-            @jax.jit
-            def f(x, w):
-                def body(i, x):
-                    return jax.lax.conv_general_dilated(
-                        x, w, (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        preferred_element_type=jnp.bfloat16,
-                    ) * (1.0 / c)
-                return jax.lax.fori_loop(0, depth, body, x)
-            return f
+        @jax.jit
+        def f(x, ws):
+            def body(xc, w):
+                y = jax.lax.conv_general_dilated(
+                    xc, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.bfloat16,
+                ) * (1.0 / c)
+                return y, ()
+            y, _ = jax.lax.scan(body, x, ws)
+            return y
 
-        f1, f2 = chain(D1), chain(D2)
-        t1 = _med(lambda: float(jnp.sum(f1(x, w).astype(jnp.float32))))
-        t2 = _med(lambda: float(jnp.sum(f2(x, w).astype(jnp.float32))))
-        per = (t2 - t1) / (D2 - D1)
-        fl = 2 * 2 * hw * hw * c * c * 9  # batch 2
+        t = _med(lambda: float(jnp.sum(f(x, ws).astype(jnp.float32))))
+        per = t / N
+        fl = 2 * nb * hw * hw * c * c * 9
+        wbytes = 9 * c * c * 2  # bf16 kernel fetched per conv
         print(f"  {hw:3d}² c={c:<5d} {per*1e3:7.3f} ms/conv  "
-              f"{fl/per/1e12:6.1f} TF/s  ({100*fl/per/V5E_BF16_PEAK:5.1f}% peak)",
+              f"{fl/per/1e12:6.1f} TF/s ({100*fl/per/V5E_BF16_PEAK:5.1f}% "
+              f"MXU peak, {wbytes/per/1e9:5.0f} GB/s weight stream; "
+              f"total {t*1e3:.1f} ms/{N})",
               flush=True)
+
+
+SDXL = False  # --sdxl: SDXL-Turbo geometry (1-step, no CFG, batch 1)
 
 
 def build_pipe():
@@ -84,9 +96,25 @@ def build_pipe():
     )
     from flux_generator_tpu.models.sd.unet import init_unet
     from flux_generator_tpu.models.sd.vae import init_sd_vae
-    from flux_generator_tpu.pipelines.sd import StableDiffusion
+    from flux_generator_tpu.pipelines.sd import StableDiffusion, StableDiffusionXL
 
-    unet_cfg = UNetConfig()
+    if SDXL:
+        unet_cfg = UNetConfig(
+            block_out_channels=(320, 640, 1280),
+            layers_per_block=(2, 2, 2),
+            transformer_layers_per_block=(1, 2, 10),
+            num_attention_heads=(5, 10, 20),
+            cross_attention_dim=(2048, 2048, 2048),
+            down_block_types=(
+                "DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=(
+                "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+            addition_embed_type="text_time",
+            addition_time_embed_dim=256,
+            projection_class_embeddings_input_dim=2816,
+        )
+    else:
+        unet_cfg = UNetConfig()
     ae_cfg = AutoencoderConfig()
     dtype = jnp.bfloat16
     params = {
@@ -99,27 +127,41 @@ def build_pipe():
             jax.eval_shape(lambda: init_sd_vae(jax.random.PRNGKey(1), ae_cfg, dtype)),
         ))(),
     }
-    return StableDiffusion(
-        "stable-diffusion-2-1-base", params, unet_cfg, ae_cfg,
+    cls = StableDiffusionXL if SDXL else StableDiffusion
+    return cls(
+        "sdxl-turbo" if SDXL else "stable-diffusion-2-1-base",
+        params, unet_cfg, ae_cfg,
         CLIPTextConfig(num_layers=23, model_dims=1024, num_heads=16),
         DiffusionConfig(), dtype=dtype,
     )
 
 
 def step_time(pipe, size, cfg_batch):
-    """ms per UNet forward at the given total UNet batch, Δ-method."""
+    """ms per UNet forward at the given total UNet batch, Δ-method.
+    SD2.1 runs CFG (UNet batch = 2·images, weight 7.5); SDXL-Turbo runs
+    CFG-free (UNet batch = images) with text_time conditioning."""
     from flux_generator_tpu.models.sd import sampler as smp
 
     latent = size // 8
     dtype = jnp.bfloat16
-    n = cfg_batch // 2  # images; CFG doubles
-    cond = jax.random.normal(jax.random.PRNGKey(1), (2 * n, 77, 1024), dtype)
+    kw = {}
+    if SDXL:
+        n = cfg_batch
+        cond = jax.random.normal(jax.random.PRNGKey(1), (n, 77, 2048), dtype)
+        pooled = jax.random.normal(jax.random.PRNGKey(4), (n, 1280), dtype)
+        tt = jnp.broadcast_to(
+            jnp.array([[size, size, 0, 0, size, float(size)]]), (n, 6))
+        kw = dict(cfg_weight=0.0, text_time=(pooled, tt))
+    else:
+        n = cfg_batch // 2  # images; CFG doubles
+        cond = jax.random.normal(jax.random.PRNGKey(1), (2 * n, 77, 1024), dtype)
+        kw = dict(cfg_weight=7.5)
     x_T = smp.sample_prior(
         jax.random.PRNGKey(2), pipe.sigmas, (n, latent, latent, 4), dtype)
 
     def run(steps):
         def f(key):
-            x = pipe.denoise(x_T, cond, steps, cfg_weight=7.5, seed_key=key)
+            x = pipe.denoise(x_T, cond, steps, seed_key=key, **kw)
             return float(jnp.sum(x.astype(jnp.float32)))
         return _med(lambda: f(jax.random.PRNGKey(3)))
 
@@ -128,9 +170,10 @@ def step_time(pipe, size, cfg_batch):
 
 
 def batch_sweep(size):
-    print(f"== batch sweep ({size}², UNet step incl CFG) ==")
+    label = "no CFG" if SDXL else "incl CFG"
+    print(f"== batch sweep ({size}², UNet step {label}) ==")
     pipe = build_pipe()
-    for cb in (2, 4, 8):
+    for cb in (1, 2, 4, 8) if SDXL else (2, 4, 8):
         per = step_time(pipe, size, cb)
         print(f"  UNet batch {cb}: {per:7.2f} ms/step  "
               f"({per/cb:6.2f} ms per sample-step)", flush=True)
@@ -139,7 +182,7 @@ def batch_sweep(size):
 
 def attention_stub(pipe, size):
     print(f"== attention Δ-stub ({size}²) ==")
-    base = step_time(pipe, size, 2)
+    base = step_time(pipe, size, 1 if SDXL else 2)
     import flux_generator_tpu.models.sd.unet as unet_mod
 
     real = unet_mod._self_attention
@@ -147,7 +190,7 @@ def attention_stub(pipe, size):
     unet_mod._self_attention = lambda q, k, v: q
     unet_mod.dot_product_attention = lambda q, k, v, **kw: q
     pipe2 = build_pipe()
-    stub = step_time(pipe2, size, 2)
+    stub = step_time(pipe2, size, 1 if SDXL else 2)
     unet_mod._self_attention = real
     unet_mod.dot_product_attention = real_dpa
     print(f"  normal {base:.2f} ms  attn-free {stub:.2f} ms  "
@@ -159,11 +202,20 @@ def flop_audit(size):
     pipe = build_pipe()
     from flux_generator_tpu.models.sd import sampler as smp
     latent = size // 8
-    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 1024), jnp.bfloat16)
+    dt = jnp.bfloat16
     x_T = smp.sample_prior(
-        jax.random.PRNGKey(2), pipe.sigmas, (1, latent, latent, 4), jnp.bfloat16)
-    fn = jax.jit(lambda x, c: pipe.denoise(x, c, 1, cfg_weight=7.5,
-                                           seed_key=jax.random.PRNGKey(0)))
+        jax.random.PRNGKey(2), pipe.sigmas, (1, latent, latent, 4), dt)
+    if SDXL:
+        cond = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 2048), dt)
+        tt = (jax.random.normal(jax.random.PRNGKey(4), (1, 1280), dt),
+              jnp.array([[size, size, 0, 0, size, float(size)]]))
+        fn = jax.jit(lambda x, c: pipe.denoise(
+            x, c, 1, cfg_weight=0.0, seed_key=jax.random.PRNGKey(0),
+            text_time=tt))
+    else:
+        cond = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 1024), dt)
+        fn = jax.jit(lambda x, c: pipe.denoise(
+            x, c, 1, cfg_weight=7.5, seed_key=jax.random.PRNGKey(0)))
     lowered = fn.lower(x_T, cond)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):
@@ -175,7 +227,10 @@ def flop_audit(size):
 
 
 if __name__ == "__main__":
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    if "--sdxl" in sys.argv:
+        sys.argv.remove("--sdxl")
+        SDXL = True
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else (1024 if SDXL else 512)
     conv_microbench()
     pipe = batch_sweep(size)
     attention_stub(pipe, size)

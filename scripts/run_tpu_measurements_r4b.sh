@@ -23,8 +23,9 @@ run_stage() { # name timeout_s cmd...
 run_stage sd21_512_fixed 3600 python bench.py --config sd21 --size 512
 run_stage sdxl_1024_fixed 3600 python bench.py --config sdxl-turbo --size 1024
 
-# 2. SD MFU gap study with the fixed two-depth conv microbench
+# 2. SD/SDXL MFU gap study with the fixed two-depth conv microbench
 run_stage sd_mfu_prof 3600 python scripts/prof_sd_mfu.py 512
+run_stage sdxl_mfu_prof 5400 python scripts/prof_sd_mfu.py --sdxl 1024
 
 # 3. f8 KV cache: long-form first (the target: >=5.5x realtime at 2500
 #    steps), then the v2 short-form and the bf16 controls from the same
