@@ -145,14 +145,34 @@ def precompute_cross_kv(params, cfg: MusicGenConfig, conditioning):
 
 def kv_cache_dtype(activation_dtype):
     """Storage dtype for the self-attention KV caches: the activation dtype,
-    or float8_e4m3fn under FGT_MG_KV=f8 (halves the window HBM traffic that
-    grows with generation length — the long-form realtime cap; the math
-    stays bf16, rows are rounded to f8 on insert and widened on read)."""
+    or — under FGT_MG_KV=f8 — int8 holding float8_e4m3fn BYTES (halves the
+    window HBM traffic that grows with generation length, the long-form
+    realtime cap). The bytes travel as int8 rather than a float8-typed
+    array because Mosaic's native f8 convert measured ~100x slower than a
+    load on v5e (2500-step e2e collapsed 4.63x -> 2.03x realtime); int8
+    buffers ride the mature 1-byte DMA path and the kernels decode
+    arithmetically (ops/pallas/decode_layer._f8_decode). Rows round to f8
+    on insert and widen on read; the math stays in the activation dtype."""
     from ...runtime.config import musicgen_kv_dtype
 
     if musicgen_kv_dtype() == "f8":
-        return jnp.float8_e4m3fn
+        return jnp.int8
     return activation_dtype
+
+
+def _kv_load(x, dtype):
+    """Widen a cache slice to compute dtype (int8 = e4m3 bytes)."""
+    if x.dtype == jnp.int8:
+        return jax.lax.bitcast_convert_type(x, jnp.float8_e4m3fn).astype(dtype)
+    return x.astype(dtype)
+
+
+def _kv_store(x, cache_dtype):
+    """Round new K/V rows to the cache storage format."""
+    if cache_dtype == jnp.int8:
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float8_e4m3fn), jnp.int8)
+    return x.astype(cache_dtype)
 
 
 def init_kv_cache(cfg: MusicGenConfig, batch: int, max_steps: int, dtype):
@@ -204,12 +224,12 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         k_new = _heads(qkv[..., hid : 2 * hid], h)
         v_new = _heads(qkv[..., 2 * hid :], h)
         kc_all = jax.lax.dynamic_update_slice(
-            kc_all, k_new[None].astype(kc_all.dtype), (li, 0, offset, 0, 0))
+            kc_all, _kv_store(k_new[None], kc_all.dtype), (li, 0, offset, 0, 0))
         vc_all = jax.lax.dynamic_update_slice(
-            vc_all, v_new[None].astype(vc_all.dtype), (li, 0, offset, 0, 0))
+            vc_all, _kv_store(v_new[None], vc_all.dtype), (li, 0, offset, 0, 0))
         kc = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
-        attn = dot_product_attention(q, kc.astype(dtype), vc.astype(dtype), mask=mask)
+        attn = dot_product_attention(q, _kv_load(kc, dtype), _kv_load(vc, dtype), mask=mask)
         x = x + dense(p["self_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm_cross"])

@@ -77,6 +77,40 @@ def _ln(x, scale, bias):
     return y * scale + bias
 
 
+def _f8_decode(b, dt):
+    """Decode float8_e4m3fn BYTES held in an int8 array: s·(1+m/8)·2^(e-7),
+    denormals (e=0) exact at m·2^-9. Arithmetic VPU decode (~10 vector ops)
+    because Mosaic's native f8->bf16 convert measured ~100x slower than a
+    native load on v5e (e2e: 2500-step musicgen 4.63x -> 2.03x realtime
+    with f8-typed caches), and int8-typed buffers keep the DMA/layout on
+    the mature 1-byte path."""
+    up = b.astype(jnp.int32) & 0xFF
+    e = jax.lax.shift_right_logical(up, 3) & 0xF
+    m = (up & 0x7).astype(jnp.float32)
+    mag = (1.0 + m * 0.125) * jnp.exp2(e.astype(jnp.float32) - 7.0)
+    mag = jnp.where(e == 0, m * jnp.float32(2.0 ** -9), mag)
+    return jnp.where(up >= 128, -mag, mag).astype(dt)
+
+
+def _load_kv(x, dt=jnp.bfloat16):
+    """Widen a K/V cache block to compute dtype: int8 means e4m3 bytes
+    (FGT_MG_KV=f8), anything else is a plain cast."""
+    if x.dtype == jnp.int8:
+        return _f8_decode(x, dt)
+    return x.astype(dt)
+
+
+def store_kv_rows(rows, cache_dtype):
+    """Encode new K/V rows (bf16/f32) for cache insertion — the XLA-side
+    half of the f8 path: rows round to e4m3 and bitcast to int8 OUTSIDE the
+    kernel (the rows are (L, B, H) — tiny next to the window the kernel
+    streams), so no in-kernel f8 encode is needed."""
+    if cache_dtype == jnp.int8:
+        return jax.lax.bitcast_convert_type(
+            rows.astype(jnp.float8_e4m3fn), jnp.int8)
+    return rows.astype(cache_dtype)
+
+
 # ------------------------------------------------------------ packing
 
 
@@ -311,10 +345,8 @@ def _kernel(
             if j + 1 < n_chunks:
                 read_chunk(j + 1, slot ^ 1)
             for b in range(B):
-                # f8 (FGT_MG_KV) caches load as stored dtype; the VPU math
-                # is bf16 either way
-                kc = kbuf[slot, b].astype(jnp.bfloat16)   # (C, H)
-                vc = vbuf[slot, b]
+                kc = _load_kv(kbuf[slot, b])              # (C, H) -> bf16
+                vc = _load_kv(vbuf[slot, b], jnp.float32)
                 lo = head_sum(qs[b] * kc, seg)            # (C, nh)
                 pos = j * chunk + jax.lax.broadcasted_iota(
                     jnp.int32, lo.shape, 0)
@@ -329,8 +361,7 @@ def _kernel(
                 # would still poison the sum via 0 * garbage(NaN)
                 live = jax.lax.broadcasted_iota(
                     jnp.int32, vc.shape, 0) + j * chunk < off
-                vz = jnp.where(live, vc.astype(jnp.float32), 0.0
-                               ).astype(jnp.bfloat16)
+                vz = jnp.where(live, vc, 0.0).astype(jnp.bfloat16)
                 pv = jnp.sum(
                     head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
                     axis=0, keepdims=True,
@@ -485,8 +516,8 @@ def _kernel2(
         seg, seg_t = seg_mats()
         for b in range(B):
             qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
-            kcb = kc_ref[0, b].astype(jnp.bfloat16)       # (chunk, H)
-            vcb = vc_ref[0, b]
+            kcb = _load_kv(kc_ref[0, b])                  # (chunk, H) -> bf16
+            vcb = _load_kv(vc_ref[0, b], jnp.float32)
             lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
             pos = j * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, lo.shape, 0)
@@ -502,7 +533,7 @@ def _kernel2(
             # and 0 * garbage would still poison the sum
             vz = jnp.where(
                 jnp.broadcast_to(live[:, :1], vcb.shape),
-                vcb.astype(jnp.float32), 0.0,
+                vcb, 0.0,
             ).astype(jnp.bfloat16)
             pv = jnp.sum(
                 head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
@@ -706,8 +737,8 @@ def _kernel3(
         seg, seg_t = seg_mats()
         for b in range(B):
             qb = (ys[b : b + 1, :] * scale).astype(jnp.bfloat16)
-            kcb = kc_ref[0, b].astype(jnp.bfloat16)       # (chunk, H)
-            vcb = vc_ref[0, b]
+            kcb = _load_kv(kc_ref[0, b])                  # (chunk, H) -> bf16
+            vcb = _load_kv(vc_ref[0, b], jnp.float32)
             lo = head_sum(qb * kcb, seg)                  # (chunk, nh)
             pos = j * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, lo.shape, 0)
@@ -723,7 +754,7 @@ def _kernel3(
             # block pad reads garbage — p == 0 would still poison via 0 * NaN
             vz = jnp.where(
                 jnp.broadcast_to(live[:, :1], vcb.shape),
-                vcb.astype(jnp.float32), 0.0,
+                vcb, 0.0,
             ).astype(jnp.bfloat16)
             pv = jnp.sum(
                 head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
@@ -929,8 +960,10 @@ def fused_decode_step3(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((M, h), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), k_cache.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), v_cache.dtype),
+            # new rows leave in the COMPUTE dtype; the wrapper encodes
+            # them for the cache (f8 bytes under FGT_MG_KV=f8)
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, h), jnp.float32),          # xs
@@ -949,6 +982,8 @@ def fused_decode_step3(
     )(off, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
+    kn = store_kv_rows(kn, k_cache.dtype)
+    vn = store_kv_rows(vn, v_cache.dtype)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, kn[:, :, None, :], (zero, zero, offset, zero))
     v_cache = jax.lax.dynamic_update_slice(
@@ -1021,8 +1056,10 @@ def fused_decode_step2(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((M, h), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), k_cache.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), v_cache.dtype),
+            # new rows leave in the COMPUTE dtype; the wrapper encodes
+            # them for the cache (f8 bytes under FGT_MG_KV=f8)
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, h), jnp.float32),          # xs
@@ -1041,6 +1078,8 @@ def fused_decode_step2(
     )(off, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
+    kn = store_kv_rows(kn, k_cache.dtype)
+    vn = store_kv_rows(vn, v_cache.dtype)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, kn[:, :, None, :], (zero, zero, offset, zero))
     v_cache = jax.lax.dynamic_update_slice(
@@ -1108,8 +1147,10 @@ def fused_decode_step(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((M, h), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), k_cache.dtype),
-            jax.ShapeDtypeStruct((n_layers, B, h), v_cache.dtype),
+            # new rows leave in the COMPUTE dtype; the wrapper encodes
+            # them for the cache (f8 bytes under FGT_MG_KV=f8)
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, B, h), x.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, h), jnp.float32),          # xs
@@ -1129,6 +1170,8 @@ def fused_decode_step(
     )(off, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
+    kn = store_kv_rows(kn, k_cache.dtype)
+    vn = store_kv_rows(vn, v_cache.dtype)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, kn[:, :, None, :], (zero, zero, offset, zero))
     v_cache = jax.lax.dynamic_update_slice(

@@ -275,6 +275,12 @@ def musicgen_fused_impl_for(max_steps: int, n_samples: int = 1) -> str:
     v = musicgen_fused_impl()
     if v != "auto":
         return v
+    if musicgen_kv_dtype() == "f8":
+        # v2 delivers K/V as fixed-size half-window blocks, so the f8
+        # arithmetic decode runs over the FULL block from step 0 (measured
+        # collapse: 2.61x vs bf16 6.41x at 1000 steps); v1's manual chunks
+        # track the live window, so decode cost grows with it instead
+        return "v1"
     if n_samples > 1:
         return "v1"
     return "v2" if max_steps <= musicgen_fused_max_steps() else "v1"
@@ -291,11 +297,13 @@ def set_musicgen_kv_dtype(d: str | None = None):
 def musicgen_kv_dtype() -> str:
     """Storage dtype for the MusicGen decoder's self-attention KV cache:
     "bf16" (default, bit-exact with the reference math) or "f8"
-    (float8_e4m3fn — halves the cache-window HBM traffic that grows with
-    generation length and caps long-form realtime; ~0.1-0.2% attention
-    output error, tests/test_musicgen.py::test_kv_cache_f8). FGT_MG_KV=f8
-    opts in; quality-gated OFF by default pending the real-weight listen
-    test (same policy as FGT_W8A8)."""
+    (float8_e4m3fn bytes in int8 buffers — halves the cache-window HBM
+    traffic that grows with generation length and caps long-form realtime;
+    see models/musicgen/model.kv_cache_dtype for why the bytes travel as
+    int8; parity tests test_kv_cache_f8_close_to_bf16 and
+    test_decode_step_parity_f8_cache). FGT_MG_KV=f8 opts in; quality-gated
+    OFF by default pending the real-weight listen test (same policy as
+    FGT_W8A8)."""
     v = _KNOBS.get("mg_kv_dtype")
     if v is not None:
         return v

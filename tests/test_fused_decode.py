@@ -378,7 +378,7 @@ def test_decode_step_parity_f8_cache(impl):
     cfg, params, packed, cross_kv, b2, w = make_setup(False, w=16)
     h = cfg.hidden_size
     L = cfg.num_hidden_layers
-    f8 = jnp.float8_e4m3fn
+    f8 = jnp.int8  # e4m3 BYTES (zeros == +0.0 in e4m3)
 
     kc_x, vc_x = mg.init_kv_cache(cfg, b2, w, f8)
     kc_f = jnp.zeros((L, b2, w, h), f8)
@@ -408,3 +408,20 @@ def test_decode_step_parity_f8_cache(impl):
     finally:
         set_musicgen_fused_impl(None)
     assert kc_f.dtype == f8
+
+
+def test_fused_impl_routing_f8_picks_v1():
+    """Under FGT_MG_KV=f8 the auto impl must avoid v2 at every length: v2's
+    fixed-size half-window blocks make the f8 decode cost full-block from
+    step 0 (measured 2.61x vs bf16 6.41x realtime at 1000 steps)."""
+    from flux_generator_tpu.runtime.config import (
+        musicgen_fused_impl_for, set_musicgen_kv_dtype,
+    )
+
+    set_musicgen_kv_dtype("f8")
+    try:
+        for steps in (100, 1000, 2500):
+            assert musicgen_fused_impl_for(steps) == "v1"
+    finally:
+        set_musicgen_kv_dtype(None)
+    assert musicgen_fused_impl_for(100) == "v2"  # bf16 default unchanged

@@ -247,13 +247,13 @@ def test_kv_cache_f8_close_to_bf16(musicgen):
     from flux_generator_tpu.runtime.config import set_musicgen_kv_dtype
     set_musicgen_kv_dtype("f8")
     try:
-        assert mg.kv_cache_dtype(jnp.bfloat16) == jnp.float8_e4m3fn
+        assert mg.kv_cache_dtype(jnp.bfloat16) == jnp.int8  # e4m3 bytes
     finally:
         set_musicgen_kv_dtype(None)
 
     w = 8
     kc_b, vc_b = mg.init_kv_cache(cfg, 2, w, jnp.bfloat16)
-    kc_8, vc_8 = mg.init_kv_cache(cfg, 2, w, jnp.float8_e4m3fn)
+    kc_8, vc_8 = mg.init_kv_cache(cfg, 2, w, jnp.int8)
     for off in range(4):
         toks = jax.random.randint(
             jax.random.PRNGKey(10 + off), (2, 1, cfg.num_codebooks), 0,
@@ -265,7 +265,7 @@ def test_kv_cache_f8_close_to_bf16(musicgen):
         a, b = np.asarray(lg_b, np.float32), np.asarray(lg_8, np.float32)
         denom = max(1e-3, float(np.abs(a).max()))
         assert np.abs(a - b).max() / denom < 0.06, np.abs(a - b).max() / denom
-    assert kc_8.dtype == jnp.float8_e4m3fn
+    assert kc_8.dtype == jnp.int8
 
 
 def test_generate_with_f8_kv_runs(musicgen):
