@@ -358,3 +358,27 @@ def test_multi_image_request_via_coalescer(real_server):
         data = json.loads(r.read())
     assert len(data["images"]) == 4
     assert len(set(data["images"])) == 4, "per-image seeds must differ"
+
+
+def test_sd_coalesces_to_batch_8():
+    """SD coalescing reaches the measured batch-8 sweet spot (8.47 -> 6.28
+    ms per sample-step at 512², BENCH_RESULTS) while flux stays capped at 4:
+    an 8-image SD request runs as ONE batched denoise."""
+    from flux_generator_tpu.pipelines.sd import StableDiffusion
+    from flux_generator_tpu.server.api import FluxAPI
+
+    def sd_factory(name):
+        pipe = StableDiffusion.random_init(tiny=True)
+        pipe.tokenizers = [_SDTokStub()]
+        return pipe
+
+    api = FluxAPI(sd_factory=sd_factory)
+    assert api.coalesce_buckets_sd[-1] == 8
+    assert api.coalesce_buckets[-1] == 4  # flux cap unchanged
+    urls = api.generate_coalesced(
+        "p", "stabilityai/stable-diffusion-2-1-base", 64, 64, 1,
+        guidance=7.5, seed=7, n_images=8,
+    )
+    assert len(urls) == 8
+    assert len(set(urls)) == 8, "per-image seeds must differ"
+    assert api.last_stats["batched_requests"] == 8, api.last_stats
