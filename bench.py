@@ -763,7 +763,8 @@ def main():
             return bench_sdxl_turbo(size=args.size or 512)
         if config == "dreambooth":
             return bench_dreambooth(size=args.size or 512, batch=args.batch)
-        return bench_sd21(steps=args.steps, size=args.size or 256)
+        return bench_sd21(steps=args.steps, size=args.size or 256,
+                          batch=args.batch)
 
     # fallback chain so the driver always gets a line. Each attempt runs in a
     # fresh SUBPROCESS: an OOM'd attempt otherwise keeps its 12+ GB param tree
