@@ -227,8 +227,20 @@ def _xla_flops(jitted, *args, **kwargs) -> float:
     where hand-counting convs + attention at every resolution is error-prone.
     Slight over-count vs the analytic matmul-only numbers (elementwise FLOPs
     included), so MFU from this is a lower bound. Returns 0.0 when the
-    backend exposes no cost model (MFU is then omitted, not faked)."""
+    backend exposes no cost model (MFU is then omitted, not faked).
+
+    The lowering happens with the UNet's stacked-transformer-layer scan
+    UNROLLED: cost_analysis counts a scan body once regardless of trip
+    count, which under-counted SDXL (10 layers per scan at its deepest
+    level) 2.4x — the r4 "20.4% MFU" was this artifact."""
+    import flux_generator_tpu.models.sd.unet as _unet
+
     try:
+        _unet._FLOP_COUNT_UNROLL = True
+        # the jit trace cache may hold the ROLLED jaxpr from earlier timing
+        # calls at these avals — drop it so the flag is read at a fresh trace
+        if hasattr(jitted, "clear_cache"):
+            jitted.clear_cache()
         compiled = jitted.lower(*args, **kwargs).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -236,6 +248,10 @@ def _xla_flops(jitted, *args, **kwargs) -> float:
         return float(ca.get("flops", 0.0))
     except Exception:
         return 0.0
+    finally:
+        _unet._FLOP_COUNT_UNROLL = False
+        if hasattr(jitted, "clear_cache"):
+            jitted.clear_cache()  # don't leave the unrolled trace behind
 
 
 def _w8a8() -> bool:

@@ -211,6 +211,15 @@ def _transformer_block(p, x, memory, num_heads):
     return x + dense(p["linear3"], y)
 
 
+# FLOP-counting lowerings set this True (bench._xla_flops): XLA's
+# cost_analysis counts a lax.scan body ONCE regardless of trip count, so the
+# stacked transformer layers (10 per site at SDXL's deepest level) would be
+# 10x under-counted. unroll=n leaves a single while trip whose body holds all
+# n layers — counted exactly once, i.e. correctly. Never set for real runs
+# (the rolled scan compiles faster and times identically).
+_FLOP_COUNT_UNROLL = False
+
+
 def _transformer2d(p, x, memory, num_heads, groups):
     b, h, w, c = x.shape
     # diffusers Transformer2DModel hardcodes GN eps=1e-6 (the resnets use
@@ -222,7 +231,9 @@ def _transformer2d(p, x, memory, num_heads, groups):
     def step(carry, blk):
         return _transformer_block(blk, carry, memory, num_heads), None
 
-    y, _ = jax.lax.scan(step, y, p["blocks"])
+    n_blocks = jax.tree.leaves(p["blocks"])[0].shape[0]
+    y, _ = jax.lax.scan(step, y, p["blocks"],
+                        unroll=n_blocks if _FLOP_COUNT_UNROLL else 1)
     y = dense(p["proj_out"], y)
     return x + y.reshape(b, h, w, c)
 

@@ -95,3 +95,40 @@ def test_sd_vae_roundtrip():
     assert logvar.shape == (1, 8, 8, 4)
     y = sd_vae_decode(params, cfg, mean)
     assert y.shape == (1, 16, 16, 3)
+
+
+def test_flop_count_unrolls_stacked_transformer_layers():
+    """bench MFU accounting regression (r4 found SDXL '20.4% MFU' was an
+    artifact): XLA cost_analysis counts a lax.scan body ONCE regardless of
+    trip count, so the stacked transformer layers (SDXL: 10 per site) were
+    invisible to the rolled count. bench._xla_flops must unroll the block
+    scan (unet._FLOP_COUNT_UNROLL) so every stacked layer is counted."""
+    import bench
+
+    x = jnp.zeros((1, 16, 16, 4), jnp.float32)
+    ts = jnp.zeros((1,), jnp.float32)
+    enc = jnp.zeros((1, 7, 16), jnp.float32)
+
+    def counts(n_layers):
+        cfg = tiny_unet_config(
+            transformer_layers_per_block=(n_layers, n_layers))
+        params = init_unet(jax.random.PRNGKey(0), cfg, jnp.float32)
+        f = jax.jit(lambda p, xx, t, e: unet_forward(p, cfg, xx, t, e))
+        unrolled = bench._xla_flops(f, params, x, ts, enc)
+        f.clear_cache()
+        ca = f.lower(params, x, ts, enc).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), unrolled
+
+    rolled1, unrolled1 = counts(1)
+    rolled6, unrolled6 = counts(6)
+    if rolled1 == 0.0:  # backend without a cost model: nothing to check
+        pytest.skip("cost_analysis exposes no flops on this backend")
+    # 1-layer scans count correctly either way
+    assert abs(unrolled1 - rolled1) < 0.01 * rolled1
+    # the artifact: 5 extra layers per site are invisible to the rolled count
+    assert rolled6 < 1.05 * rolled1
+    # the fix: the unrolled count grows with the stacked layers (6 layers at
+    # 2 sites vs 1: measured 55.3M vs 15.7M flops on the tiny config)
+    assert unrolled6 > 3.0 * rolled6
