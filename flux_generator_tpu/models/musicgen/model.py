@@ -404,11 +404,16 @@ def generate(
         ckv = tuple(
             a.reshape(L_, B2, a.shape[2], cfg.hidden_size) for a in cross_kv
         )
-        # window axis padded to a multiple of 8: Mosaic tiles it, so every
-        # kernel DMA slice must be 8-row aligned (rows beyond `offset` are
-        # masked in-kernel, so the pad rows are never attended)
-        w_alloc = -(-max_steps // 8) * 8
-        k_cache = jnp.zeros((L_, B2, w_alloc, cfg.hidden_size), kv_cache_dtype(dtype))
+        # window axis padded to the cache dtype's native sublane tile so
+        # every kernel DMA slice is tile-aligned (rows beyond `offset` are
+        # masked in-kernel, so the pad rows are never attended): 8 rows for
+        # bf16, 32 for int8/f8-byte caches (Mosaic's (32, 128) int8 tile —
+        # an 8-aligned-but-not-32-aligned window slice of an int8 cache
+        # would DMA through a mid-tile boundary).
+        kv_dt = kv_cache_dtype(dtype)
+        row_tile = 32 if kv_dt == jnp.int8 else 8
+        w_alloc = -(-max_steps // row_tile) * row_tile
+        k_cache = jnp.zeros((L_, B2, w_alloc, cfg.hidden_size), kv_dt)
         v_cache = jnp.zeros_like(k_cache)
     else:
         k_cache, v_cache = init_kv_cache(cfg, 2 * n, max_steps, kv_cache_dtype(dtype))
@@ -452,8 +457,11 @@ def generate(
     n_chunks = max(1, -(-max_steps // chunk))
     for c in range(n_chunks):
         start, stop = c * chunk, min(max_steps, (c + 1) * chunk)
-        # fused path: 8-aligned windows (see w_alloc above)
-        win = min(-(-stop // 8) * 8, k_cache.shape[2]) if fused else stop
+        # fused path: tile-aligned windows (see w_alloc above)
+        win = (
+            min(-(-stop // row_tile) * row_tile, k_cache.shape[2])
+            if fused else stop
+        )
         kc_view = k_cache[:, :, :win]
         vc_view = v_cache[:, :, :win]
         (audio_seq, kc_view, vc_view), _ = jax.lax.scan(

@@ -106,6 +106,12 @@ def store_kv_rows(rows, cache_dtype):
     kernel (the rows are (L, B, H) — tiny next to the window the kernel
     streams), so no in-kernel f8 encode is needed."""
     if cache_dtype == jnp.int8:
+        # e4m3fn has no inf: values past ±448 round to the NaN byte
+        # (0x7F/0xFF), which _f8_decode would silently read back as ±480
+        # while the XLA bitcast load path propagates NaN — the two paths
+        # would diverge. Saturate at the format max so storage clamps and
+        # both decodes agree.
+        rows = jnp.clip(rows.astype(jnp.float32), -448.0, 448.0)
         return jax.lax.bitcast_convert_type(
             rows.astype(jnp.float8_e4m3fn), jnp.int8)
     return rows.astype(cache_dtype)

@@ -410,6 +410,67 @@ def test_decode_step_parity_f8_cache(impl):
     assert kc_f.dtype == f8
 
 
+def test_store_kv_rows_f8_saturates():
+    """e4m3fn has no inf: |x| > 448 would round to the NaN byte, which the
+    kernel's arithmetic decode reads back as ±480 while the XLA bitcast
+    load path propagates NaN — silent divergence. store_kv_rows must clamp
+    so both decode paths agree at the format max."""
+    from flux_generator_tpu.ops.pallas.decode_layer import (
+        _f8_decode, store_kv_rows,
+    )
+
+    rows = jnp.array([[1000.0, -1000.0, 464.0, -464.0, 448.0, 3.5, 0.0]],
+                     jnp.float32)
+    enc = store_kv_rows(rows, jnp.int8)
+    # kernel-side arithmetic decode
+    dec_k = np.asarray(_f8_decode(enc, jnp.float32))
+    # XLA-side bitcast decode (what decode_step's non-kernel path does)
+    dec_x = np.asarray(
+        jax.lax.bitcast_convert_type(enc, jnp.float8_e4m3fn).astype(
+            jnp.float32)
+    )
+    expect = np.array([[448.0, -448.0, 448.0, -448.0, 448.0, 3.5, 0.0]])
+    np.testing.assert_array_equal(dec_k, expect)
+    np.testing.assert_array_equal(dec_x, expect)
+
+
+def test_generate_f8_window_is_32_row_aligned():
+    """int8 (f8-byte) caches tile at (32, 128) on TPU: generate() must
+    allocate — and slice — the window in 32-row multiples, else the v1
+    kernel's window DMA crosses a mid-tile boundary. Checked by tracing
+    generate() with a max_steps that is 8- but not 32-aligned."""
+    from flux_generator_tpu.runtime.config import (
+        set_musicgen_fused, set_musicgen_kv_dtype,
+    )
+
+    cfg, params, _, _, _, _ = make_setup(False)
+    cond = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size))
+        * 0.3
+    ).astype(jnp.bfloat16)
+    seen = {}
+    orig = mg.decode_step_fused
+
+    def spy(packed, params_, cfg_, tok, ckv, kc, vc, off, **kw):
+        seen["window"] = kc.shape[2]
+        seen["dtype"] = kc.dtype
+        kw["interpret"] = True
+        return orig(packed, params_, cfg_, tok, ckv, kc, vc, off, **kw)
+
+    set_musicgen_fused(True)
+    set_musicgen_kv_dtype("f8")
+    mg.decode_step_fused = spy
+    try:
+        mg.generate(params, cfg, cond, max_steps=24, top_k=1,
+                    key=jax.random.PRNGKey(0))
+    finally:
+        mg.decode_step_fused = orig
+        set_musicgen_fused(None)
+        set_musicgen_kv_dtype(None)
+    assert seen["dtype"] == jnp.int8
+    assert seen["window"] % 32 == 0, seen
+
+
 def test_fused_impl_routing_f8_picks_v1():
     """Under FGT_MG_KV=f8 the auto impl must avoid v2 at every length: v2's
     fixed-size half-window blocks make the f8 decode cost full-block from

@@ -127,8 +127,14 @@ def test_flop_count_unrolls_stacked_transformer_layers():
         pytest.skip("cost_analysis exposes no flops on this backend")
     # 1-layer scans count correctly either way
     assert abs(unrolled1 - rolled1) < 0.01 * rolled1
-    # the artifact: 5 extra layers per site are invisible to the rolled count
-    assert rolled6 < 1.05 * rolled1
-    # the fix: the unrolled count grows with the stacked layers (6 layers at
-    # 2 sites vs 1: measured 55.3M vs 15.7M flops on the tiny config)
-    assert unrolled6 > 3.0 * rolled6
+    # the regression that matters: the unrolled count must grow with the
+    # stacked layers (6 layers at 2 sites vs 1: measured 55.3M vs 15.7M
+    # flops on the tiny config)
+    assert unrolled6 > 3.0 * unrolled1
+    if rolled6 < 1.05 * rolled1:
+        # the known jaxlib artifact: cost_analysis counts a scan body once
+        # regardless of trip count, hiding 5 of every 6 stacked layers —
+        # the reason bench._xla_flops unrolls. Only check the fix's effect
+        # while the artifact exists; a future jaxlib that counts trips
+        # correctly makes this branch (not the test) obsolete.
+        assert unrolled6 > 3.0 * rolled6
