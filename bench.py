@@ -494,10 +494,13 @@ def bench_flux_e2e(steps: int = 4, size: int = 512, batch: int = 1,
     }
 
 
-def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
+def bench_sdxl_turbo(size: int = 512, repeats: int = 5, batch: int = 1):
     """SDXL-Turbo geometry: 1 Euler-ancestral step, no CFG (BASELINE.json
     configs[1]). Full-size UNet (2.6B): block_out (320,640,1280),
-    transformer_layers (1,2,10), cross-attn 2048, text_time conditioning."""
+    transformer_layers (1,2,10), cross-attn 2048, text_time conditioning.
+    --batch N measures the coalesced-serving shape (N concurrent 1-step
+    requests in one UNet batch — VERDICT r4 next #3: set the SDXL coalescer
+    ladder from measurement, not the SD2.1 numbers)."""
     from flux_generator_tpu.models.sd import sampler as smp
     from flux_generator_tpu.models.sd.config import (
         AutoencoderConfig,
@@ -535,10 +538,12 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
         [tiny_clip_config()], DiffusionConfig(), dtype=dtype,
     )
     latent = size // 8
-    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 2048), dtype)
-    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 1280), dtype)
-    text_time = (pooled, jnp.array([[512, 512, 0, 0, 512, 512.0]]))
-    x_T = smp.sample_prior(jax.random.PRNGKey(3), pipe.sigmas, (1, latent, latent, 4), dtype)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, 2048), dtype)
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (batch, 1280), dtype)
+    text_time = (pooled, jnp.broadcast_to(
+        jnp.array([[512, 512, 0, 0, 512, 512.0]]), (batch, 6)))
+    x_T = smp.sample_prior(
+        jax.random.PRNGKey(3), pipe.sigmas, (batch, latent, latent, 4), dtype)
 
     def one(key):
         x = pipe.denoise(x_T, cond, 1, cfg_weight=0.0, seed_key=key,
@@ -569,16 +574,18 @@ def bench_sdxl_turbo(size: int = 512, repeats: int = 5):
         cfg_on=False, text_time=text_time,
     )
     out = {
-        "metric": f"images/sec/chip (SDXL-Turbo {size}x{size}, 1 step, no CFG)",
-        "value": round(1 / p50, 4),
+        "metric": (f"images/sec/chip (SDXL-Turbo {size}x{size}, 1 step, "
+                   f"no CFG, batch {batch})"),
+        "value": round(batch / p50, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(1 / p50, 4),
+        "vs_baseline": round(batch / p50, 4),
         "p50_latency_s": round(p50, 4),
         "phase_denoise_s": round(denoise_s, 4),
     }
     if flops > 0:
         out["denoise_tflop"] = round(flops / 1e12, 2)
         out["denoise_step_ms"] = round(step_s * 1e3, 2)
+        out["denoise_step_ms_per_sample"] = round(step_s * 1e3 / batch, 2)
         out["denoise_mfu_pct"] = round(100 * flops / step_s / V5E_BF16_PEAK, 1)
         out["mfu_datapath"] = "bf16 (flops: xla 1-step cost analysis; time: marginal step)"
     return out
@@ -715,6 +722,102 @@ def bench_musicgen_e2e(max_steps: int = 200, repeats: int = 3,
     }
 
 
+def bench_musicgen_coalesced(max_steps: int = 200, repeats: int = 3,
+                             quantize: bool = True, n_requests: int = 2):
+    """Cross-user music coalescing (VERDICT r4 next #2): n concurrent
+    requests with DIFFERENT prompt lengths run in ONE batched AR loop
+    (per-request cross-attention length masks + per-sample seeds), timed
+    against serving them sequentially — the reference's one-at-a-time loop
+    (musicgen/musicgen.py:249-304) is the sequential shape. Reports the
+    aggregate audio-sec/sec of the coalesced batch; the sequential baseline
+    and speedup ride along in the JSON."""
+    from flux_generator_tpu.models.musicgen import model as mg
+    from flux_generator_tpu.models.musicgen.encodec import (
+        EncodecConfig, EncodecModel, init_encodec,
+    )
+    from flux_generator_tpu.models.t5.t5 import T5Config, init_t5_encoder, t5_encode
+    from flux_generator_tpu.ops.quant import quantize_tree
+
+    cfg = mg.MusicGenConfig()
+    t5_cfg = T5Config(num_layers=12, num_heads=12, d_kv=64, d_model=768,
+                      d_ff=3072, feed_forward_proj="relu",
+                      tie_word_embeddings=True)
+    dtype = jnp.bfloat16
+    if quantize:
+        dec_shape = jax.eval_shape(lambda: quantize_tree(
+            mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype), bits=8))
+    else:
+        dec_shape = jax.eval_shape(
+            lambda: mg.init_musicgen(jax.random.PRNGKey(0), cfg, dtype))
+    params = _zeros_like_tree(dec_shape)
+    t5 = _zeros_like_tree(jax.eval_shape(
+        lambda: init_t5_encoder(jax.random.PRNGKey(1), t5_cfg, dtype)))
+    enc_cfg = EncodecConfig()
+    codec = EncodecModel(enc_cfg, _zeros_like_tree(jax.eval_shape(
+        lambda: init_encodec(jax.random.PRNGKey(2), enc_cfg, jnp.float32))))
+
+    cond_fn = jax.jit(lambda tp, p, t: mg.condition_text(
+        p, t5_encode(tp, t5_cfg, t).astype(dtype)))
+    # heterogeneous prompts: 12- and 6-token conditioning, one 16-token
+    # S bucket (the pipeline's _next_pow2_bucket ladder)
+    tok_lens = [12, 6, 9, 4][:n_requests]
+    s_bucket = 16
+    conds = [cond_fn(t5, params, jnp.ones((1, s), jnp.int32))
+             for s in tok_lens]
+    cond = jnp.zeros((n_requests, s_bucket, cfg.hidden_size), dtype)
+    for i, c in enumerate(conds):
+        cond = cond.at[i, : c.shape[1]].set(c[0])
+    cond_len = jnp.array(tok_lens, jnp.int32)
+    keys = jnp.stack([jax.random.PRNGKey(10 + i) for i in range(n_requests)])
+    live = jnp.full((n_requests,), max_steps, jnp.int32)
+
+    gen_multi = jax.jit(lambda p, c, cl, ks, lv: mg.generate(
+        p, cfg, c, max_steps, 250, 1.0, 3.0,
+        live_steps=lv, cond_len=cl, keys=ks))
+    gen_solo = jax.jit(lambda p, c, key: mg.generate(
+        p, cfg, c, max_steps, 250, 1.0, 3.0, key))
+    want = max_steps - cfg.num_codebooks + 1
+
+    def coalesced():
+        codes = gen_multi(params, cond, cond_len, keys, live)
+        return [np.asarray(codec.decode(
+            codes[i : i + 1, :, :want][None], [None]))
+            for i in range(n_requests)]
+
+    def sequential():
+        outs = []
+        for i, c in enumerate(conds):
+            codes = gen_solo(params, c, jax.random.PRNGKey(10 + i))
+            outs.append(np.asarray(codec.decode(
+                codes[:, :, :want][None], [None])))
+        return outs
+
+    coalesced(), sequential()  # compile both
+    co_ts, seq_ts = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        coalesced()
+        co_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sequential()
+        seq_ts.append(time.perf_counter() - t0)
+    co, seq = float(np.median(co_ts)), float(np.median(seq_ts))
+    audio_sec = n_requests * want / float(enc_cfg.frame_rate)
+    return {
+        "metric": (
+            f"aggregate audio-sec/sec ({n_requests} COALESCED user requests, "
+            f"{max_steps} AR steps each, heterogeneous prompt lengths "
+            f"{tok_lens}, decoder{' int8' if quantize else ''} + EnCodec)"
+        ),
+        "value": round(audio_sec / co, 4),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(seq / co, 4),  # speedup vs sequential serving
+        "coalesced_s": round(co, 4),
+        "sequential_s": round(seq, 4),
+        "sequential_audio_sec_per_sec": round(audio_sec / seq, 4),
+    }
+
+
 def bench_dreambooth(size: int = 512, batch: int = 1, repeats: int = 5,
                      lora_rank: int = 8, grad_accumulate: int = 4):
     """Driver-visible TRAINING benchmark (VERDICT r3 #3): the real DreamBooth
@@ -816,7 +919,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flux-schnell",
                     choices=["sd21", "flux-schnell", "flux-denoise", "musicgen",
-                             "musicgen-e2e", "sdxl-turbo", "dreambooth"])
+                             "musicgen-e2e", "musicgen-coalesce", "sdxl-turbo",
+                             "dreambooth"])
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--size", type=int)
     ap.add_argument("--batch", type=int, default=1)
@@ -851,8 +955,16 @@ def main():
                 quantize=os.environ.get("FGT_QUANTIZE", "1") == "1",
                 bits=int(os.environ.get("FGT_QUANTIZE_BITS", "8")),
             )
+        if config == "musicgen-coalesce":
+            import os
+
+            return bench_musicgen_coalesced(
+                max_steps=args.steps if args.steps != 4 else 200,
+                quantize=os.environ.get("FGT_QUANTIZE", "1") == "1",
+                n_requests=max(2, args.batch),
+            )
         if config == "sdxl-turbo":
-            return bench_sdxl_turbo(size=args.size or 512)
+            return bench_sdxl_turbo(size=args.size or 512, batch=args.batch)
         if config == "dreambooth":
             return bench_dreambooth(size=args.size or 512, batch=args.batch)
         return bench_sd21(steps=args.steps, size=args.size or 256,

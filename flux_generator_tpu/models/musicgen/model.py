@@ -180,9 +180,13 @@ def init_kv_cache(cfg: MusicGenConfig, batch: int, max_steps: int, dtype):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache, offset):
+def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache, offset,
+                cond_len=None):
     """One AR step. tokens: (B, 1, K) int; caches (L, B, S_max, H, Dh);
-    offset: scalar int. Returns (logits (B, 1, V, K), new_k, new_v)."""
+    offset: scalar int. cond_len: optional (B,) int32 per-row conditioning
+    lengths — cross-attention masks text positions >= cond_len[b] (cross-user
+    coalescing pads different prompts to one S bucket); None = all live.
+    Returns (logits (B, 1, V, K), new_k, new_v)."""
     b = tokens.shape[0]
     h = cfg.num_attention_heads
     x = _embed_tokens(params, cfg, tokens, offset)
@@ -193,6 +197,12 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
     mask = (positions <= offset)[None, None, None, :]  # (1,1,1,S)
 
     cross_k, cross_v = cross_kv
+    cross_mask = None
+    if cond_len is not None:
+        s_text = cross_k.shape[2]
+        cross_mask = (
+            jnp.arange(s_text)[None, :] < jnp.asarray(cond_len)[:, None]
+        )[:, None, None, :]  # (B,1,1,S)
 
     hid = x.shape[-1]
 
@@ -236,7 +246,7 @@ def decode_step(params, cfg: MusicGenConfig, tokens, cross_kv, k_cache, v_cache,
         from ...ops.linear import materialize_kernel as _mk
 
         q = _heads(y @ _mk(p["cross_attn"]["qkv"], y.dtype)[:, :hid], h)
-        attn = dot_product_attention(q, ck, cv)
+        attn = dot_product_attention(q, ck, cv, mask=cross_mask)
         x = x + dense(p["cross_attn"]["o"], attn.reshape(b, 1, -1))
 
         y = layer_norm(x, p["norm2"])
@@ -300,7 +310,8 @@ def _embed_tokens(params, cfg: MusicGenConfig, tokens, offset):
 def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
                       k_cache, v_cache, offset,
                       interpret: Optional[bool] = None,
-                      impl: Optional[str] = None):
+                      impl: Optional[str] = None,
+                      cond_len=None):
     """decode_step via the fused Pallas megakernel (ops/pallas/decode_layer):
     the whole 48-layer stack — 6 matmuls + both attentions + norms per layer
     — runs as ONE weight-streaming pallas_call at ~HBM bandwidth, vs ~10 us
@@ -328,7 +339,7 @@ def decode_step_fused(packed, params, cfg: MusicGenConfig, tokens, cross_kv,
     dtype = x.dtype
     ck, cv = cross_kv
     y, k_cache, v_cache = step_fn(
-        packed, x[:, 0, :], ck, cv, offset, k_cache, v_cache,
+        packed, x[:, 0, :], ck, cv, offset, k_cache, v_cache, cond_len,
         n_heads=cfg.num_attention_heads, interpret=interpret,
     )
     x = layer_norm(y[:, None, :], params["out_norm"])
@@ -356,6 +367,8 @@ def generate(
     guidance_coef: float = 3.0,
     key=None,
     live_steps=None,
+    cond_len=None,
+    keys=None,
 ):
     """Generate delay-pattern codes fully on-device.
 
@@ -364,11 +377,22 @@ def generate(
     a time). Returns codes (n, num_codebooks, max_steps - num_codebooks + 1)
     ready for EnCodec decode (delay already undone).
 
-    live_steps: optional traced scalar — the *requested* step count when
-    max_steps is a padded compile bucket. The delay-pattern ramp-down window
-    follows live_steps so the reference's tail semantics (last K-1 frames
-    masked to BOS) hold at the requested length, while the scan length (and
-    the compiled executable) stays the bucket."""
+    live_steps: optional traced scalar OR (n,) vector — the *requested* step
+    count(s) when max_steps is a padded compile bucket. The delay-pattern
+    ramp-down window follows live_steps so the reference's tail semantics
+    (last K-1 frames masked to BOS) hold at each requested length, while the
+    scan length (and the compiled executable) stays the bucket. A vector
+    gives every coalesced request its own duration in one batched loop.
+
+    cond_len: optional (n,) int32 — per-sample conditioning lengths when
+    rows of `conditioning` are DIFFERENT prompts padded to one S bucket
+    (cross-user coalescing): cross-attention masks positions >= cond_len[i]
+    for sample i (and its CFG uncond twin), so each sample's codes match a
+    solo run at its own true length.
+
+    keys: optional (n,) stacked PRNG keys — per-sample sampling streams
+    (per-request seeds under coalescing). None = the single-`key` derivation
+    (bit-compatible with earlier rounds)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     if live_steps is None:
         live_steps = max_steps
@@ -381,6 +405,10 @@ def generate(
     # CFG: [cond..., uncond...] batch of 2n
     cond = jnp.concatenate([conditioning, jnp.zeros_like(conditioning)], axis=0)
     cross_kv = precompute_cross_kv(params, cfg, cond)
+    cl2 = None
+    if cond_len is not None:
+        cl = jnp.asarray(cond_len, jnp.int32).reshape(n)
+        cl2 = jnp.concatenate([cl, cl], axis=0)  # uncond twin masks alike
 
     from ...runtime.config import musicgen_fused_impl_for
 
@@ -427,20 +455,27 @@ def generate(
         if fused:
             logits, kc, vc = decode_step_fused(
                 packed, params, cfg, tok2, ckv, kc, vc, offset,
-                impl=fused_impl,
+                impl=fused_impl, cond_len=cl2,
             )
         else:
-            logits, kc, vc = decode_step(params, cfg, tok2, cross_kv, kc, vc, offset)
+            logits, kc, vc = decode_step(
+                params, cfg, tok2, cross_kv, kc, vc, offset, cond_len=cl2)
         cond_l, uncond_l = logits[:n, 0], logits[n:, 0]  # (n, V, K)
         mixed = uncond_l + (cond_l - uncond_l) * guidance_coef
-        step_key = jax.random.fold_in(key, offset)
+        if keys is None:
+            step_key = jax.random.fold_in(key, offset)
+            step_keys = jax.random.split(step_key, n)
+        else:  # per-request seed streams (cross-user coalescing)
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, offset)
         sampled = jax.vmap(
             lambda k_, lg: top_k_sample(k_, lg, top_k, temperature)
-        )(jax.random.split(step_key, n), mixed)  # (n, K)
+        )(step_keys, mixed)  # (n, K)
         # delay pattern: codebook k live during steps [k, live_steps - K + k]
+        # (live_steps broadcasts (n,) per-request durations or a scalar)
         ks = jnp.arange(K)
-        live = (offset >= ks) & (offset <= live_steps - K + ks)
-        tok_next = jnp.where(live[None], sampled.astype(jnp.int32), cfg.bos_token_id)
+        live_n = jnp.broadcast_to(jnp.asarray(live_steps), (n,))
+        live = (offset >= ks[None]) & (offset <= live_n[:, None] - K + ks[None])
+        tok_next = jnp.where(live, sampled.astype(jnp.int32), cfg.bos_token_id)
         seq = jax.lax.dynamic_update_slice(seq, tok_next[:, None], (0, offset + 1, 0))
         return (seq, kc, vc), None
 

@@ -203,7 +203,8 @@ def packable(layers) -> bool:
 
 def _kernel(
     # inputs
-    off_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref, kc_hbm, vc_hbm,
+    off_ref, sl_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref,
+    kc_hbm, vc_hbm,
     # outputs
     o_ref, kn_out, vn_out,
     # scratch
@@ -397,11 +398,20 @@ def _kernel(
             kc = ck_ref[0, b]                             # (S, H) bf16
             vc = cv_ref[0, b]
             lo = head_sum(qb * kc, seg)                   # (S, nh)
+            # per-sample conditioning length (cross-user coalescing pads
+            # different prompts to one S bucket): mask pad rows out of the
+            # softmax and zero the matching V rows (p == 0 would still
+            # poison the sum via 0 * NaN if a caller passed garbage pad)
+            live_s = jax.lax.broadcasted_iota(
+                jnp.int32, lo.shape, 0) < sl_ref[b]
+            lo = jnp.where(live_s, lo, NEG)
             m = jnp.max(lo, axis=0, keepdims=True)
             p = jnp.exp(lo - m)
             psum = jnp.sum(p, axis=0, keepdims=True)      # (1, nh)
+            vz = jnp.where(
+                jnp.broadcast_to(live_s[:, :1], vc.shape), vc, 0)
             av = jnp.sum(
-                head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
                 axis=0, keepdims=True,
             ).astype(jnp.float32)
             outs.append(av / head_expand(psum, seg_t))
@@ -455,7 +465,8 @@ def _kernel(
 
 def _kernel2(
     # inputs
-    off_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref, kc_ref, vc_ref,
+    off_ref, sl_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref,
+    kc_ref, vc_ref,
     # outputs
     o_ref, kn_out, vn_out,
     # scratch
@@ -611,11 +622,20 @@ def _kernel2(
             kc = ck_ref[0, b]                             # (S, H) bf16
             vc = cv_ref[0, b]
             lo = head_sum(qb * kc, seg)                   # (S, nh)
+            # per-sample conditioning length (cross-user coalescing pads
+            # different prompts to one S bucket): mask pad rows out of the
+            # softmax and zero the matching V rows (p == 0 would still
+            # poison the sum via 0 * NaN if a caller passed garbage pad)
+            live_s = jax.lax.broadcasted_iota(
+                jnp.int32, lo.shape, 0) < sl_ref[b]
+            lo = jnp.where(live_s, lo, NEG)
             m = jnp.max(lo, axis=0, keepdims=True)
             p = jnp.exp(lo - m)
             psum = jnp.sum(p, axis=0, keepdims=True)      # (1, nh)
+            vz = jnp.where(
+                jnp.broadcast_to(live_s[:, :1], vc.shape), vc, 0)
             av = jnp.sum(
-                head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
                 axis=0, keepdims=True,
             ).astype(jnp.float32)
             outs.append(av / head_expand(psum, seg_t))
@@ -675,7 +695,8 @@ def _kernel2(
 
 def _kernel3(
     # inputs
-    off_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref, kc_ref, vc_ref,
+    off_ref, sl_ref, w_ref, s_ref, ln_ref, x_ref, ck_ref, cv_ref,
+    kc_ref, vc_ref,
     # outputs
     o_ref, kn_out, vn_out,
     # scratch
@@ -838,11 +859,20 @@ def _kernel3(
             kc = ck_ref[0, b]                             # (S, H) bf16
             vc = cv_ref[0, b]
             lo = head_sum(qb * kc, seg)                   # (S, nh)
+            # per-sample conditioning length (cross-user coalescing pads
+            # different prompts to one S bucket): mask pad rows out of the
+            # softmax and zero the matching V rows (p == 0 would still
+            # poison the sum via 0 * NaN if a caller passed garbage pad)
+            live_s = jax.lax.broadcasted_iota(
+                jnp.int32, lo.shape, 0) < sl_ref[b]
+            lo = jnp.where(live_s, lo, NEG)
             m = jnp.max(lo, axis=0, keepdims=True)
             p = jnp.exp(lo - m)
             psum = jnp.sum(p, axis=0, keepdims=True)      # (1, nh)
+            vz = jnp.where(
+                jnp.broadcast_to(live_s[:, :1], vc.shape), vc, 0)
             av = jnp.sum(
-                head_expand(p, seg_t).astype(jnp.bfloat16) * vc,
+                head_expand(p, seg_t).astype(jnp.bfloat16) * vz,
                 axis=0, keepdims=True,
             ).astype(jnp.float32)
             outs.append(av / head_expand(psum, seg_t))
@@ -876,6 +906,14 @@ def _kernel3(
         o_ref[...] = xs[...].astype(o_ref.dtype)
 
 
+def _cond_len_arr(cond_len, B: int, S: int):
+    """(B,) int32 per-row conditioning lengths for the SMEM operand;
+    None = every cross K/V row live (the single-prompt fast path)."""
+    if cond_len is None:
+        return jnp.full((B,), S, jnp.int32)
+    return jnp.asarray(cond_len, jnp.int32).reshape(B)
+
+
 # double-buffered K/V chunk pairs (k+v, bf16) stay inside this VMEM budget;
 # the rest of the kernel's residents (weight chunks, scratch, cross K/V) fit
 # comfortably beside it under the 110 MB Mosaic limit used by v1/v2
@@ -896,6 +934,7 @@ def v3_chunk_rows(B: int, h: int, W: int, itemsize: int = 2) -> int:
 )
 def fused_decode_step3(
     packed, x, cross_k, cross_v, offset, k_cache, v_cache,
+    cond_len=None,
     *, n_heads: int, chunk: int = 0, interpret: bool = False,
     stub: tuple = (),
 ):
@@ -918,6 +957,7 @@ def fused_decode_step3(
 
     x_pad = jnp.zeros((M, h), x.dtype).at[0:B, :].set(x)
     off = jnp.reshape(offset.astype(jnp.int32), (1,))
+    sl = _cond_len_arr(cond_len, B, cross_k.shape[2])
 
     kernel = functools.partial(
         _kernel3, n_heads=n_heads, b_live=B, chunk=chunk,
@@ -946,6 +986,7 @@ def fused_decode_step3(
         grid=(n_layers * cpl,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # offset
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # cond_len
             pl.BlockSpec((1, h, h), w_idx),                         # w chunk
             pl.BlockSpec((1, 1, h), w_idx),                         # scales
             pl.BlockSpec((1, 8, h), lambda i: (i // cpl, 0, 0)),    # ln
@@ -985,7 +1026,7 @@ def fused_decode_step3(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, packed["w"], packed["s"], packed["ln"], x_pad,
+    )(off, sl, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
     kn = store_kv_rows(kn, k_cache.dtype)
@@ -1002,6 +1043,7 @@ def fused_decode_step3(
 )
 def fused_decode_step2(
     packed, x, cross_k, cross_v, offset, k_cache, v_cache,
+    cond_len=None,
     *, n_heads: int, chunk: int = 0, interpret: bool = False,
     stub: tuple = (),
 ):
@@ -1024,6 +1066,7 @@ def fused_decode_step2(
 
     x_pad = jnp.zeros((M, h), x.dtype).at[0:B, :].set(x)
     off = jnp.reshape(offset.astype(jnp.int32), (1,))
+    sl = _cond_len_arr(cond_len, B, cross_k.shape[2])
 
     kernel = functools.partial(
         _kernel2, n_heads=n_heads, b_live=B, chunk=chunk,
@@ -1042,6 +1085,7 @@ def fused_decode_step2(
         grid=(L_cpl,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # offset
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # cond_len
             pl.BlockSpec((1, h, h), lambda i: (i, 0, 0)),           # w chunk
             pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0)),           # scales
             pl.BlockSpec((1, 8, h), lambda i: (i // CPL, 0, 0)),    # ln
@@ -1081,7 +1125,7 @@ def fused_decode_step2(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, packed["w"], packed["s"], packed["ln"], x_pad,
+    )(off, sl, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
     kn = store_kv_rows(kn, k_cache.dtype)
@@ -1098,6 +1142,7 @@ def fused_decode_step2(
 )
 def fused_decode_step(
     packed, x, cross_k, cross_v, offset, k_cache, v_cache,
+    cond_len=None,
     *, n_heads: int, chunk: int = 512, interpret: bool = False,
     stub: tuple = (),
 ):
@@ -1108,6 +1153,9 @@ def fused_decode_step(
     (L, B, W, H) bf16 — or float8_e4m3fn under FGT_MG_KV=f8 (loads widen to
     bf16 in-kernel, new rows round on the way out; halves the window DMA
     traffic) — with W a multiple of 8 (Mosaic tiles the window axis).
+    cond_len: optional (B,) int32 per-row conditioning lengths — rows of the
+    cross K/V at positions >= cond_len[b] are masked out (cross-user
+    coalescing pads different prompts to one S bucket); None = all S live.
     The kernel reads the caches; the new K/V rows come back as (L, B, H)
     outputs and are inserted at `offset` with one dynamic_update_slice here.
     Returns (y (B, H) bf16, k_cache, v_cache)."""
@@ -1122,6 +1170,7 @@ def fused_decode_step(
 
     x_pad = jnp.zeros((M, h), x.dtype).at[0:B, :].set(x)
     off = jnp.reshape(offset.astype(jnp.int32), (1,))
+    sl = _cond_len_arr(cond_len, B, cross_k.shape[2])
 
     kernel = functools.partial(
         _kernel, n_heads=n_heads, b_live=B, chunk=chunk,
@@ -1133,6 +1182,7 @@ def fused_decode_step(
         grid=(L_cpl,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # offset
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # cond_len
             pl.BlockSpec((1, h, h), lambda i: (i, 0, 0)),           # w chunk
             pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0)),           # scales
             pl.BlockSpec((1, 8, h), lambda i: (i // CPL, 0, 0)),    # ln
@@ -1173,7 +1223,7 @@ def fused_decode_step(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, packed["w"], packed["s"], packed["ln"], x_pad,
+    )(off, sl, packed["w"], packed["s"], packed["ln"], x_pad,
       cross_k, cross_v, k_cache, v_cache)
     zero = jnp.int32(0)
     kn = store_kv_rows(kn, k_cache.dtype)

@@ -753,29 +753,83 @@ class FluxAPI:
                        temperature: float = 1.0, guidance: float = 3.0,
                        seed: Optional[int] = None, n_samples: int = 1):
         """Returns (waveforms, sampling_rate): waveforms is a LIST of (T, C)
-        arrays. n_samples > 1 runs one batched AR loop — the weight-
-        streaming decode re-reads the weights once per step regardless of
-        batch, so extra samples are nearly free (21.7 aggregate
-        audio-sec/sec at n=4 vs 7.8 at n=1)."""
-        with self._admit():
+        arrays. Requests ride the same cross-user coalescing batcher as
+        images: concurrent music requests whose (steps-bucket, top_k,
+        temperature, guidance) match run in ONE batched AR loop — DIFFERENT
+        prompts, durations and seeds per request (per-sample cross-attention
+        length masks / live_steps / PRNG streams; the reference serves music
+        strictly one request at a time, musicgen/musicgen.py:249-304). The
+        weight-streaming decode re-reads the weights once per step
+        regardless of batch, so extra samples are nearly free (21.7
+        aggregate audio-sec/sec at n=4 vs 7.8 at n=1); n_samples > 1 enters
+        as n items so a single user's samples batch the same way."""
+        max_steps = max(8, min(int(max_steps), 2500))
+        n_samples = max(1, min(int(n_samples), 4))
+        # the steps BUCKET is the compiled scan length, so only requests in
+        # the same bucket can share an executable; top_k is a static compile
+        # arg, temp/guidance are baked floats
+        bucket = max(64, -(-max_steps // 256) * 256)
+        key = ("music", bucket, int(top_k), float(temperature),
+               float(guidance))
+        items = [
+            {"prompt": prompt, "steps": max_steps,
+             "seed": seed + j if seed is not None else None,
+             "event": threading.Event(), "result": None, "error": None}
+            for j in range(n_samples)
+        ]
+        with self._batch_lock:
+            self._pending.setdefault(key, []).extend(items)
+        try:
+            with self._admit():
+                while not all(it["event"].is_set() for it in items):
+                    with self._batch_lock:
+                        group = self._pending.pop(key, [])
+                        if not group:
+                            break
+                        # n<=4 measured cap: B=8 CFG rows in the megakernel
+                        take, rest = group[:4], group[4:]
+                        if rest:
+                            self._pending[key] = rest
+                    self._run_music_batch(take, top_k, temperature, guidance)
+        except QueueFullError:
+            with self._batch_lock:
+                grp = self._pending.get(key, [])
+                for it in items:
+                    if it in grp:
+                        grp.remove(it)
+            if not all(it["event"].is_set() for it in items):
+                raise
+        for it in items:
+            it["event"].wait()
+        for it in items:
+            if it["error"] is not None:
+                raise it["error"]
+        return [it["result"] for it in items], self.init_music_pipeline().sampling_rate
+
+    def _run_music_batch(self, items, top_k, temperature, guidance):
+        try:
             pipe = self.init_music_pipeline()
-            max_steps = max(8, min(int(max_steps), 2500))
-            n_samples = max(1, min(int(n_samples), 4))
-            self.progress.start("musicgen", max_steps)
-            if n_samples > 1:
-                audios = pipe.generate_batch(
-                    prompt, n_samples=n_samples, max_steps=max_steps,
-                    top_k=top_k, temp=temperature, guidance_coef=guidance,
-                    seed=seed,
-                )
-                out = [np.asarray(a) for a in audios]
-            else:
-                out = [np.asarray(pipe.generate(
-                    prompt, max_steps=max_steps, top_k=top_k, temp=temperature,
-                    guidance_coef=guidance, seed=seed,
-                ))]
+            self.progress.start(
+                f"musicgen (batch {len(items)})",
+                max(it["steps"] for it in items),
+            )
+            reqs = [
+                {"text": it["prompt"], "max_steps": it["steps"],
+                 "seed": it["seed"]}
+                for it in items
+            ]
+            audios = pipe.generate_requests(
+                reqs, top_k=top_k, temp=temperature, guidance_coef=guidance,
+            )
+            for it, a in zip(items, audios):
+                it["result"] = np.asarray(a)
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for it in items:
+                it["error"] = e
+        finally:
             self.progress.start("", 0)
-            return out, pipe.sampling_rate
+            for it in items:
+                it["event"].set()
 
     # -------------------------------------------------- A1111 metadata
 

@@ -196,6 +196,59 @@ def record_encodec() -> dict:
     }
 
 
+def record_sdxl(model_name: str = "stabilityai/sdxl-turbo") -> dict:
+    """SDXL text_time temb tap — must mirror validate_real.sdxl_fingerprints:
+    rng(0) pooled, time_ids 1024^2, t=500, through timesteps->time_embedding
+    + add_time_proj/add_embedding (reference unet.py:404-422)."""
+    import mlx.core as mx
+    from stable_diffusion import StableDiffusionXL
+
+    sd = StableDiffusionXL(model_name)
+    unet = sd.unet
+    rng = np.random.default_rng(0)
+    pooled_dim = (
+        unet.config.projection_class_embeddings_input_dim
+        - 6 * unet.config.addition_time_embed_dim
+    )
+    pooled = mx.array(rng.standard_normal((1, pooled_dim)).astype(np.float32))
+    time_ids = mx.array([[1024, 1024, 0, 0, 1024, 1024.0]])
+    temb = unet.time_embedding(unet.timesteps(mx.array([500.0])))
+    emb = unet.add_time_proj(time_ids).flatten(1)
+    emb = mx.concatenate([pooled, emb], axis=-1)
+    temb = temb + unet.add_embedding(emb)
+    mx.eval(temb)
+    return {
+        "family": "sdxl",
+        "input": "np.default_rng(0) pooled, time_ids 1024^2, t=500",
+        "text_time_temb": _mx_stats(temb),
+    }
+
+
+def record_musicgen(model_name: str = "facebook/musicgen-medium") -> dict:
+    """MusicGen delay-undo edge tap — must mirror
+    validate_real.musicgen_fingerprints: rng(0) conditioning (1, 6, H)
+    fed PAST the text encoder (the tap isolates the decoder + delay
+    machinery), 8 steps, top_k=1 (argmax — key-independent), codes exact."""
+    import mlx.core as mx
+    from musicgen import MusicGen
+
+    model = MusicGen.from_pretrained(model_name)
+    rng = np.random.default_rng(0)
+    cond = mx.array(
+        (rng.standard_normal((1, 6, model.decoder_hidden_size)) * 0.3
+         ).astype(np.float32))
+    # drive the reference's generate loop with injected conditioning at
+    # top_k=1; adapt here if its API names differ — the CONTRACT is the
+    # rng(0) conditioning + 8 steps + argmax sampling + delay undo
+    codes = model.generate_with_conditioning(cond, max_steps=8, top_k=1)
+    mx.eval(codes)
+    return {
+        "family": "musicgen",
+        "input": "np.default_rng(0) conditioning (1, 6, H), 8 steps, top_k=1",
+        "codes": np.array(codes, np.int64).tolist(),
+    }
+
+
 def selfcheck():
     """Runs here (no mlx needed): the input constructions above must match
     scripts/checksum_activations.py bit for bit."""
@@ -225,7 +278,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", help="path to the reference repo checkout")
     ap.add_argument("--family", default="all",
-                    choices=["flux", "t5", "clip", "encodec", "all"])
+                    choices=["flux", "t5", "clip", "encodec", "sdxl",
+                             "musicgen", "all"])
     ap.add_argument("--model", default="flux-schnell")
     ap.add_argument("--out", default="checksums_ref")
     ap.add_argument("--selfcheck", action="store_true",
@@ -245,6 +299,8 @@ def main(argv=None):
         "t5": lambda: record_t5(args.model),
         "clip": lambda: record_clip(args.model),
         "encodec": record_encodec,
+        "sdxl": record_sdxl,
+        "musicgen": record_musicgen,
     }
     names = list(recorders) if args.family == "all" else [args.family]
     out_dir = Path(args.out)

@@ -135,6 +135,61 @@ def flux_fingerprints(pipe) -> dict:
     }
 
 
+def sdxl_fingerprints(pipe) -> dict:
+    """SDXL text_time conditioning tap (VERDICT r4 #9): the added-embedding
+    path (pooled text + Fourier time_ids -> add_embedding MLP -> temb) is
+    the one SDXL-only input route, so a wrong text_encoder_2 projection or
+    time_ids layout shows up here before any image diff. Inputs from
+    np.default_rng(0) — byte-identical on the reference recorder side
+    (record_reference_fingerprints.py selfcheck locks the construction)."""
+    import jax.numpy as jnp
+
+    from flux_generator_tpu.models.sd.unet import compute_temb
+
+    cfg = pipe.unet_cfg
+    rng = np.random.default_rng(0)
+    pooled_dim = cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
+    pooled = jnp.asarray(rng.standard_normal((1, pooled_dim)), pipe.dtype)
+    time_ids = jnp.asarray([[1024, 1024, 0, 0, 1024, 1024.0]])
+    temb = compute_temb(
+        pipe.params["unet"], cfg, jnp.asarray([500.0]),
+        (pooled, time_ids), pipe.dtype,
+    )
+    a = np.asarray(temb, np.float64)
+    return {
+        "family": "sdxl",
+        "input": "np.default_rng(0) pooled, time_ids 1024^2, t=500",
+        "text_time_temb": [round(float(a.mean()), 6),
+                           round(float(np.abs(a).mean()), 6),
+                           round(float(a.std()), 6)],
+    }
+
+
+def musicgen_fingerprints(pipe) -> dict:
+    """MusicGen delay-undo edge tap (VERDICT r4 #9): 8-step top_k=1 codes
+    with fixed rng(0) conditioning, recorded EXACTLY (ints). Covers the two
+    delay-pattern edges the image diff can't see: codebook k only goes live
+    at step k (head edge) and the last K-1 frames mask back to BOS before
+    the shift-undo (tail edge) — an off-by-one in either shifts these
+    columns."""
+    import jax
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(
+        rng.standard_normal((1, 6, pipe.cfg.hidden_size)) * 0.3, pipe.dtype)
+    from flux_generator_tpu.models.musicgen import model as mg
+
+    codes = mg.generate(pipe.params, pipe.cfg, cond, max_steps=8, top_k=1,
+                        key=jax.random.PRNGKey(0))
+    return {
+        "family": "musicgen",
+        "input": "np.default_rng(0) conditioning (1, 6, H), 8 steps, top_k=1",
+        "codes": np.asarray(codes, np.int64).tolist(),
+    }
+
+
 def run_sd(local_dir, xl=False):
     import jax.numpy as jnp
 
@@ -162,6 +217,18 @@ def run_musicgen(local_dir):
 
 
 # ------------------------------------------------------------ main
+
+
+def _fp_result(fam, fps, fingerprints, label):
+    """Diff a family's fingerprints against the reference dir when given."""
+    if fingerprints:
+        ref_file = Path(fingerprints) / f"{fam}.json"
+        if not ref_file.exists():
+            return (f"{fam}/fingerprints", False, f"missing {ref_file}")
+        div = compare_fingerprints(fps, json.loads(ref_file.read_text()))
+        return (f"{fam}/fingerprints", div is None, div or f"{label} agrees")
+    return (f"{fam}/fingerprints", True,
+            f"{label} recorded (no reference dir given)")
 
 
 def validate(root, families, fingerprints=None, ref_images=None,
@@ -212,11 +279,18 @@ def validate(root, families, fingerprints=None, ref_images=None,
                 pipe, img = run_sd(sub, xl=(fam == "sdxl"))
                 imgs[fam] = img
                 results.append((f"{fam}/load+generate", True, f"image {img.shape}"))
+                if fam == "sdxl":
+                    fps = sdxl_fingerprints(pipe)
+                    results.append(_fp_result(fam, fps, fingerprints,
+                                              "text_time temb tap"))
             elif fam == "musicgen":
                 pipe, audio = run_musicgen(sub)
                 ok = np.isfinite(audio.astype(np.float32)).all() and audio.size > 0
                 results.append((f"{fam}/load+generate", ok,
                                 f"audio {audio.shape}"))
+                fps = musicgen_fingerprints(pipe)
+                results.append(_fp_result(fam, fps, fingerprints,
+                                          "delay-undo edge codes"))
         except Exception as e:  # noqa: BLE001 — each family fails independently
             results.append((f"{fam}/load+generate", False,
                             f"{type(e).__name__}: {e}"))

@@ -240,6 +240,42 @@ def test_full_width_block_budget_int4_grouped(full_block):
     assert err < PER_BLOCK_BUDGET["int4g128"], f"full-width int4 g128 {err:.4f}"
 
 
+@pytest.mark.slow
+def test_full_width_block_budget_w8a8_4608_tokens():
+    """The 1024^2 serving geometry (VERDICT r4 next #5): 4096 img + 512 txt
+    = 4608 tokens through the REAL-width double block. W8A8's in-kernel
+    activation quantization is per-row, so the per-block budget must hold
+    independent of token count — this pins it at flux-dev's real serving
+    depth instead of extrapolating from the 144-token fixture."""
+    from flux_generator_tpu.models.flux.model import _double_block
+    from flux_generator_tpu.ops.rope import rope_cos_sin
+
+    cfg, p = _full_width_double_block(jax.random.PRNGKey(0))
+    b, l_img, l_txt = 1, 4096, 512
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (b, l_img, cfg.hidden_size))
+    txt = jax.random.normal(ks[1], (b, l_txt, cfg.hidden_size))
+    vec = jax.random.normal(ks[2], (b, cfg.hidden_size))
+    cos, sin = rope_cos_sin(jnp.arange(l_txt + l_img)[None], cfg.head_dim)
+
+    def run(params):
+        i, t = _double_block(params, img, txt, vec, cos, sin, cfg,
+                             use_pallas=False)
+        return np.concatenate([np.asarray(i).ravel(), np.asarray(t).ravel()])
+
+    ref = run(p)
+    qp = _quant_block(p)
+    set_w8a8(True)
+    try:
+        err = _rel_err(run(qp), ref)
+    finally:
+        set_w8a8(None)
+    assert err < PER_BLOCK_BUDGET["w8a8"], f"4608-token w8a8 {err:.4f}"
+    depth = cfg.depth + cfg.depth_single_blocks
+    assert np.sqrt(depth) * err < E2E_LATENT_BUDGET, \
+        f"w8a8 4608-token e2e estimate {np.sqrt(depth) * err:.4f}"
+
+
 def test_latent_budget_maps_to_acceptable_images():
     """Criterion (c): a latent perturbed by E2E_LATENT_BUDGET rel err must
     decode to an image within SSIM 0.90 of the clean decode — ties the
