@@ -332,8 +332,15 @@ def flux_forward(
     dbl_body = _double_block
     sgl_body = _single_block
     if remat:
-        dbl_body = jax.checkpoint(_double_block, static_argnums=(6, 7))
-        sgl_body = jax.checkpoint(_single_block, static_argnums=(5, 6))
+        from ...runtime.config import remat_policy
+
+        kw = {}
+        if remat_policy() == "dots":
+            # save matmul outputs, recompute only elementwise/norm work in
+            # the backward — a memory-for-FLOPs knob (see runtime.config)
+            kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        dbl_body = jax.checkpoint(_double_block, static_argnums=(6, 7), **kw)
+        sgl_body = jax.checkpoint(_single_block, static_argnums=(5, 6), **kw)
 
     if pp is not None:
         if capture_stats:

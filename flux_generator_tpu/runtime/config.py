@@ -179,6 +179,30 @@ def set_musicgen_layer_loop(mode: str | None = None):
     _KNOBS["mg_layer_loop"] = mode
 
 
+def set_remat_policy(policy: str | None = None):
+    """Force the training remat policy (None = back to FGT_REMAT_POLICY)."""
+    if policy is not None and policy not in ("block", "dots"):
+        raise ValueError(f"remat policy must be block|dots, got {policy!r}")
+    _KNOBS["remat_policy"] = policy
+
+
+def remat_policy() -> str:
+    """Gradient-checkpoint granularity for the flux block stacks:
+      block — full per-block remat (recompute everything in bwd; minimum
+              activation memory, the r2 shipping default)
+      dots  — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+              matmul outputs are SAVED, only elementwise/norm work
+              recomputes. Trades ~5 GB of saved activations (57 blocks at
+              512² batch 1) against one fwd's worth of recompute FLOPs.
+    Measured A/B in BENCH_RESULTS 'training remat policy'."""
+    v = _KNOBS.get("remat_policy")
+    if v is None:
+        v = os.environ.get("FGT_REMAT_POLICY", "block")
+    if v not in ("block", "dots"):
+        raise ValueError(f"FGT_REMAT_POLICY must be block|dots, got {v!r}")
+    return v
+
+
 def musicgen_layer_loop() -> str:
     v = _KNOBS.get("mg_layer_loop")
     if v is None:

@@ -156,6 +156,11 @@ class FluxAPI:
         # (1, 2, 4): its denoise is compute-saturated at batch 1 and 1024^2
         # batching measured slightly NEGATIVE.
         self.coalesce_buckets_sd = (1, 2, 4, 8)
+        # SDXL gets its OWN ladder (VERDICT r4 next #3) set from the r5
+        # batch study (BENCH_RESULTS "SDXL-Turbo batch scaling"): the SD2.1
+        # +49%-at-batch-8 result does NOT automatically transfer to SDXL's
+        # heavier per-sample step.
+        self.coalesce_buckets_sdxl = (1, 2, 4, 8)
 
     @contextlib.contextmanager
     def _admit(self):
@@ -308,8 +313,7 @@ class FluxAPI:
                         group = self._pending.pop(key, [])
                         if not group:
                             break
-                        cap = (self.coalesce_buckets_sd if is_sd
-                               else self.coalesce_buckets)[-1]
+                        cap = self._buckets_for(model)[-1]
                         take, rest = group[:cap], group[cap:]
                         if rest:
                             self._pending[key] = rest
@@ -329,6 +333,16 @@ class FluxAPI:
             if it["error"] is not None:
                 raise it["error"]
         return [it["result"] for it in items]
+
+    def _buckets_for(self, model: str):
+        """Coalescer ladder by model family — each is measurement-backed
+        (BENCH_RESULTS batch-scaling rows): flux capped at 4 (denoise
+        batch-flat at 1024²), SD and SDXL each from their own study."""
+        if not model.startswith("stabilityai/"):
+            return self.coalesce_buckets
+        if "xl" in model.split("/")[-1]:
+            return self.coalesce_buckets_sdxl
+        return self.coalesce_buckets_sd
 
     def _run_batch(self, items, model, width, height, steps, guidance,
                    negative=""):
@@ -355,7 +369,7 @@ class FluxAPI:
                 # the flux side — a fresh batch dim means a full UNet
                 # recompile in the request path otherwise)
                 bucket = next(
-                    (b for b in self.coalesce_buckets_sd if b >= n), n)
+                    (b for b in self._buckets_for(model) if b >= n), n)
                 texts = [it["prompt"] for it in items] + \
                         [items[-1]["prompt"]] * (bucket - n)
                 seeds = [it["seed"] for it in items] + [0] * (bucket - n)
@@ -499,7 +513,7 @@ class FluxAPI:
 
     def txt2img(self, request: SDAPIRequest) -> SDAPIResponse:
         n_images = request.batch_size * request.n_iter
-        if n_images <= self.coalesce_buckets[-1]:
+        if n_images <= self._buckets_for(request.model or "")[-1]:
             # flux AND sd requests up to a bucket ride the cross-user
             # batcher; a k-image request enters as k items so it coalesces
             # with other users' too
@@ -813,16 +827,26 @@ class FluxAPI:
                 f"musicgen (batch {len(items)})",
                 max(it["steps"] for it in items),
             )
-            reqs = [
-                {"text": it["prompt"], "max_steps": it["steps"],
-                 "seed": it["seed"]}
-                for it in items
-            ]
-            audios = pipe.generate_requests(
-                reqs, top_k=top_k, temp=temperature, guidance_coef=guidance,
-            )
-            for it, a in zip(items, audios):
-                it["result"] = np.asarray(a)
+            if hasattr(pipe, "generate_requests"):
+                reqs = [
+                    {"text": it["prompt"], "max_steps": it["steps"],
+                     "seed": it["seed"]}
+                    for it in items
+                ]
+                audios = pipe.generate_requests(
+                    reqs, top_k=top_k, temp=temperature,
+                    guidance_coef=guidance,
+                )
+                for it, a in zip(items, audios):
+                    it["result"] = np.asarray(a)
+            else:
+                # mock/legacy pipelines without the coalesced entry
+                for it in items:
+                    it["result"] = np.asarray(pipe.generate(
+                        it["prompt"], max_steps=it["steps"], top_k=top_k,
+                        temp=temperature, guidance_coef=guidance,
+                        seed=it["seed"],
+                    ))
         except Exception as e:  # noqa: BLE001 — deliver to every waiter
             for it in items:
                 it["error"] = e

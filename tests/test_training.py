@@ -308,3 +308,44 @@ def test_quantize_tree_predicate():
     }
     q = quantize_tree(tree)
     assert "kernel_q" in q["big"] and "kernel" in q["small"]
+
+
+def test_remat_dots_policy_same_loss_and_grads():
+    """FGT_REMAT_POLICY=dots (save matmul outputs, recompute elementwise)
+    must be a pure scheduling change: loss and grads identical to the
+    full per-block remat it trades memory against (r5 training lever)."""
+    from flux_generator_tpu.models.flux.model import (
+        flux_forward, init_flux, tiny_flux_config,
+    )
+    from flux_generator_tpu.pipelines.flux import latent_ids, pack_latents
+    from flux_generator_tpu.runtime.config import set_remat_policy
+
+    cfg = tiny_flux_config()
+    params = init_flux(jax.random.PRNGKey(0), cfg, jnp.float32)
+    b, h, w = 1, 4, 4
+    img = pack_latents(
+        jax.random.normal(jax.random.PRNGKey(1), (b, h, w, cfg.in_channels // 4)))
+    ids = latent_ids(b, h, w)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (b, 3, cfg.context_in_dim))
+    vec = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.vec_in_dim))
+
+    def loss(p):
+        out = flux_forward(p, cfg, img, ids, txt, jnp.zeros((b, 3, 3), jnp.int32),
+                           jnp.full((b,), 0.5), vec, remat=True)
+        return jnp.mean(out ** 2)
+
+    results = {}
+    for pol in ("block", "dots"):
+        set_remat_policy(pol)
+        try:
+            results[pol] = jax.jit(jax.value_and_grad(loss))(params)
+        finally:
+            set_remat_policy(None)
+    l_b, g_b = results["block"]
+    l_d, g_d = results["dots"]
+    assert float(l_b) == float(l_d)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7),
+        g_b, g_d,
+    )
