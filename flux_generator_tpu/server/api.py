@@ -156,10 +156,12 @@ class FluxAPI:
         # (1, 2, 4): its denoise is compute-saturated at batch 1 and 1024^2
         # batching measured slightly NEGATIVE.
         self.coalesce_buckets_sd = (1, 2, 4, 8)
-        # SDXL gets its OWN ladder (VERDICT r4 next #3) set from the r5
-        # batch study (BENCH_RESULTS "SDXL-Turbo batch scaling"): the SD2.1
-        # +49%-at-batch-8 result does NOT automatically transfer to SDXL's
-        # heavier per-sample step.
+        # SDXL gets its OWN ladder (VERDICT r4 next #3), set from the r5
+        # batch study (BENCH_RESULTS "SDXL-Turbo batch scaling"): per-sample
+        # marginal step at batch 1/4/8 = 18.9/15.6/13.1 ms at 512² (MFU
+        # 44→60%) and 65.6/62.5/57.4 ms at 1024² (+35% aggregate e2e at b8
+        # — fixed VAE/fetch overhead amortizes) — batch 8 wins at BOTH
+        # serving sizes.
         self.coalesce_buckets_sdxl = (1, 2, 4, 8)
 
     @contextlib.contextmanager

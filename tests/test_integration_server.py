@@ -382,3 +382,19 @@ def test_sd_coalesces_to_batch_8():
     assert len(urls) == 8
     assert len(set(urls)) == 8, "per-image seeds must differ"
     assert api.last_stats["batched_requests"] == 8, api.last_stats
+
+
+def test_buckets_for_per_family_ladders():
+    """Coalescer ladders route per model family (VERDICT r4 next #3): flux
+    capped at 4 (1024² batching measured negative), SD and SDXL each on
+    their own measured batch-8 ladder."""
+    from flux_generator_tpu.server.api import FluxAPI
+
+    api = FluxAPI()
+    assert api._buckets_for("flux-schnell") == api.coalesce_buckets
+    assert api._buckets_for("flux-dev")[-1] == 4
+    assert api._buckets_for(
+        "stabilityai/stable-diffusion-2-1-base") == api.coalesce_buckets_sd
+    assert api._buckets_for(
+        "stabilityai/sdxl-turbo") == api.coalesce_buckets_sdxl
+    assert api.coalesce_buckets_sdxl[-1] == 8  # r5 batch study
