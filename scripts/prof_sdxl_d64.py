@@ -3,24 +3,31 @@
 The r4 Δ-stub split put SDXL-Turbo 1024² attention math at 21.5 ms (~37
 TF/s) vs the FFN's ~112 TF/s, attributed to head_dim 64 halving the MXU
 contraction lanes — but on Δ-stub evidence only. This measures the claim
-DIRECTLY at the op level and probes the two proposed escapes:
+DIRECTLY at the op level and probes the two proposed escapes.
 
-  1. raw-dot ladder: (L, d)·(d, L) and (L, L)·(L, d) at d = 64 vs 128 —
-     if the BARE MXU dot at d=64 runs ~half the d=128 rate, the cap is the
+Measurement protocol: every number is a MARGINAL time between two chain
+depths inside ONE jitted program (t[n2] − t[n1]) / (n2 − n1) — the axon
+tunnel's ~30 ms dispatch and fetch costs cancel (the first version of this
+script timed single dispatches and printed tunnel noise; BENCH_RESULTS
+"conditioning deep-dive" documents the same trap).
+
+Probes:
+  1. head-batched dot ladder (the EXACT attention matmul workload:
+     lax.dot_general with H batch dims) at d = 64 vs 128 — if the bare
+     batched MXU dot at d=64 runs ~half the d=128 rate, the cap is the
      contraction width itself, not the kernel around it;
-  2. head-packed THROUGHPUT PROBE: attention with the 10 d=64 heads
-     reinterpreted as 5 d=128 heads — numerically WRONG on purpose (the
-     two packings mix head subspaces), but its wall time is the upper
-     bound any correct packing scheme could reach; if even this shows no
-     win, packing is dead;
-  3. BLK_Q ladder on the real shape (one-shot path, d=64): per-grid-step
-     overhead amortization without changing the math.
+  2. flash-attention kernel on the real SDXL shape (B=1 L=4096 H=10 d=64)
+     vs the head-packed THROUGHPUT PROBE (H=5 d=128 — numerically WRONG on
+     purpose; its wall time is the upper bound ANY correct packing scheme
+     could reach) and a BLK_Q=512 variant (VMEM caps one-shot blk_q at 512
+     for L=4096: the (1024, 4096) f32 logits tile is 16.8M > 16M).
 
 Run on the TPU: python scripts/prof_sdxl_d64.py
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -31,7 +38,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, n=7):
+def timed(fn, n=5):
     fn()
     ts = []
     for _ in range(n):
@@ -41,81 +48,98 @@ def timed(fn, n=7):
     return float(np.median(ts))
 
 
-def tfs(flops, sec):
-    return flops / sec / 1e12
+@functools.partial(jax.jit, static_argnames=("n", "mode"))
+def _dot_chain(q, k, n, mode):
+    """n dependent head-batched dots — qk: (H,L,d)x(H,d,L)->(H,L,L);
+    pv: (H,L,L)x(H,L,d)->(H,L,d). The dependency feeds a slice of the
+    output back into the next iteration so XLA cannot collapse the chain."""
+    dn = (((2,), (1,)), ((0,), (0,)))
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(n):
+        if mode == "qk":
+            c = jax.lax.dot_general(q, k, dn,
+                                    preferred_element_type=jnp.float32)
+            acc = acc + c[0, 0, 0]
+            q = q + c[:, :, : q.shape[2]].astype(q.dtype) * 1e-6
+        else:  # pv: q is (H,L,L) probs, k is (H,L,d) values
+            c = jax.lax.dot_general(q, k, dn,
+                                    preferred_element_type=jnp.float32)
+            acc = acc + c[0, 0, 0]
+            k = k + c.astype(k.dtype) * 1e-6
+    return acc
+
+
+def marginal(fn_n, n1, n2, flops_per_iter, label):
+    t1 = timed(lambda: fn_n(n1))
+    t2 = timed(lambda: fn_n(n2))
+    per = max(t2 - t1, 1e-9) / (n2 - n1)
+    print(f"  {label}: {per*1e3:7.3f} ms/iter  "
+          f"{flops_per_iter / per / 1e12:6.1f} TF/s", flush=True)
+    return per
 
 
 def raw_dots():
-    """Bare MXU dots at the SDXL 32²-level attention shapes (L=4096 after
-    the 1024² image maps to 32² tokens... the transformer runs at 32²=1024
-    and 64²=4096 token levels; both measured)."""
-    print("== raw-dot ladder (bf16, jitted, chained x16 to swamp dispatch)")
+    print("== head-batched dot ladder (H=10, marginal over chain depth)",
+          flush=True)
+    H = 10
     for L in (1024, 4096):
         for d in (64, 128):
-            a = jax.random.normal(jax.random.PRNGKey(0), (L, d), jnp.bfloat16)
-            b = jax.random.normal(jax.random.PRNGKey(1), (d, L), jnp.bfloat16)
-
-            @jax.jit
-            def qk(a, b):
-                # 16 dependent dots: per-call overhead amortizes, DCE-proof
-                for _ in range(16):
-                    c = jax.lax.dot(a, b, preferred_element_type=jnp.float32)
-                    a = c[:, :a.shape[1]].astype(jnp.bfloat16) * 1e-3
-                return a
-
-            t = timed(lambda: np.asarray(qk(a, b)).sum()) / 16
-            fl = 2 * L * d * L
-            print(f"  qk L={L} d={d}: {t*1e3:7.3f} ms/dot  {tfs(fl, t):6.1f} TF/s")
+            q = jax.random.normal(jax.random.PRNGKey(0), (H, L, d),
+                                  jnp.bfloat16)
+            k = jax.random.normal(jax.random.PRNGKey(1), (H, d, L),
+                                  jnp.bfloat16)
+            marginal(
+                lambda n: float(_dot_chain(q, k, n, "qk")),
+                4, 64, 2 * H * L * d * L, f"qk L={L} d={d}")
         for d in (64, 128):
-            p = jax.random.normal(jax.random.PRNGKey(0), (L, L), jnp.bfloat16)
-            v = jax.random.normal(jax.random.PRNGKey(1), (L, d), jnp.bfloat16)
-
-            @jax.jit
-            def pv(p, v):
-                acc = jnp.zeros((L, v.shape[1]), jnp.float32)
-                for i in range(16):
-                    acc = acc + jax.lax.dot(
-                        p + jnp.float32(i).astype(jnp.bfloat16), v,
-                        preferred_element_type=jnp.float32)
-                return acc
-
-            t = timed(lambda: np.asarray(pv(p, v)).sum()) / 16
-            fl = 2 * L * L * d
-            print(f"  pv L={L} d={d}: {t*1e3:7.3f} ms/dot  {tfs(fl, t):6.1f} TF/s")
+            p = jax.random.normal(jax.random.PRNGKey(0), (H, L, L),
+                                  jnp.bfloat16)
+            v = jax.random.normal(jax.random.PRNGKey(1), (H, L, d),
+                                  jnp.bfloat16)
+            marginal(
+                lambda n: float(_dot_chain(p, v, n, "pv")),
+                4, 64, 2 * H * L * L * d, f"pv L={L} d={d}")
 
 
 def attention_probes():
     from flux_generator_tpu.ops.pallas.flash_attention import flash_attention
     from flux_generator_tpu.runtime.config import set_flash_attention
 
-    print("== attention probes (SDXL 1024² 64²-level: B=1 L=4096 H=10 d=64)")
-    B, L = 1, 4096
-    kq = jax.random.PRNGKey(0)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def attn_chain(q, n):
+        for _ in range(n):
+            o = flash_attention(q, q * 0.5, q * 0.25)
+            q = q + o * 1e-6
+        return q[0, 0, 0, 0]
 
-    def run_shape(H, D, label, blk_q=None):
-        q = jax.random.normal(kq, (B, L, H, D), jnp.bfloat16)
+    print("== attention kernel (B=1 L=4096, marginal over chain depth)",
+          flush=True)
+    B, L = 1, 4096
+    results = {}
+
+    def probe(H, D, label, blk_q=None):
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, L, H, D),
+                              jnp.bfloat16)
         if blk_q:
             set_flash_attention(blk_q=blk_q)
         try:
-            t = timed(lambda: float(flash_attention(q, q * 0.5, q * 0.25).sum()))
+            fl = 2 * 2 * L * L * H * D
+            results[label] = marginal(
+                lambda n: float(attn_chain(q, n)), 4, 36, fl, label)
         finally:
             set_flash_attention()
-        fl = 2 * 2 * L * L * H * D  # qk + pv
-        print(f"  {label}: {t*1e3:7.2f} ms  {tfs(fl, t):6.1f} TF/s")
-        return t
 
-    t64 = run_shape(10, 64, "H=10 d=64 (real, auto blk)")
-    run_shape(10, 64, "H=10 d=64 blk_q=512", blk_q=512)
-    run_shape(10, 64, "H=10 d=64 blk_q=1024", blk_q=1024)
-    # the packed probe: same total work, half the heads, double the depth —
-    # numerically WRONG (upper-bound throughput probe only)
-    t128 = run_shape(5, 128, "H=5 d=128 (PACKED PROBE)")
-    print(f"  packed-probe speedup would be {t64 / t128:0.2f}x "
-          f"(>1.15 = worth a correct packing scheme)")
+    probe(10, 64, "H=10 d=64 (real, auto blk_q=256)")
+    probe(10, 64, "H=10 d=64 blk_q=512", blk_q=512)
+    probe(5, 128, "H=5 d=128 (PACKED PROBE)")
+    t64 = results["H=10 d=64 (real, auto blk_q=256)"]
+    t128 = results["H=5 d=128 (PACKED PROBE)"]
+    print(f"  packed-probe speedup bound: {t64 / t128:0.2f}x "
+          f"(>1.15 = a correct packing scheme could pay)", flush=True)
 
 
 def main():
-    print(f"backend: {jax.default_backend()}")
+    print(f"backend: {jax.default_backend()}", flush=True)
     raw_dots()
     attention_probes()
 
