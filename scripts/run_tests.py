@@ -12,6 +12,10 @@ Tiers:
                      and the weights-day selftest. Run once per round
                      (wall time > 30 min; shard with `pytest tests/ -m
                      slow` style chunking if the machine is contended).
+                     tpu-marked tests self-skip here (CPU backend).
+  tpu              — real-chip kernel parities (tests/test_tpu_hardware.py)
+                     compiled on the actual TPU via the axon tunnel; needs
+                     the chip. ~5-10 min, mostly compiles.
 
 Usage: python scripts/run_tests.py [--tier quick|full] [extra pytest args]
 """
@@ -29,7 +33,8 @@ ROOT = pathlib.Path(__file__).parent.parent
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tier", choices=["quick", "full"], default="quick")
+    ap.add_argument("--tier", choices=["quick", "full", "tpu"],
+                    default="quick")
     args, extra = ap.parse_known_args()
 
     sys.path.insert(0, str(ROOT))
@@ -48,10 +53,19 @@ def main() -> int:
     print("[ok] all modules import")
 
     cmd = [sys.executable, "-m", "pytest", str(ROOT / "tests"), "-q"]
+    env = None
     if args.tier == "quick":
         cmd += ["-m", "not slow and not multiproc and not tpu"]
+    elif args.tier == "tpu":
+        # real-chip kernel parities (tests/test_tpu_hardware.py): keep the
+        # axon backend (conftest skips its CPU forcing under FGT_TEST_TPU)
+        # and select ONLY tpu-marked tests — the rest assume the CPU mesh.
+        import os
+
+        env = dict(os.environ, FGT_TEST_TPU="1")
+        cmd += ["-m", "tpu"]
     cmd += extra
-    return subprocess.call(cmd)
+    return subprocess.call(cmd, env=env)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("FGT_TEST_TPU") == "1":
+    # Hardware tier (tests/test_tpu_hardware.py): leave the real backend in
+    # place so -m tpu tests compile on the chip. Run ONLY with -m tpu in
+    # this mode — every other test assumes the 8-device CPU mesh that this
+    # branch skips (scripts/run_tests.py --tier tpu does it right).
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
