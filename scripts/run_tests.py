@@ -10,9 +10,11 @@ Tiers:
   full             — the whole matrix, including the multi-process
                      jax.distributed tests, the golden/twin parity pins,
                      and the weights-day selftest. Run once per round
-                     (wall time > 30 min; shard with `pytest tests/ -m
-                     slow` style chunking if the machine is contended).
-                     tpu-marked tests self-skip here (CPU backend).
+                     (wall time > 30 min). Runs as TWO pytest processes:
+                     the matrix minus test_quant_quality, then that module
+                     alone — its dev-depth sampler compiles have twice
+                     segfaulted XLA:CPU when run late in a ~250-compile
+                     process (jaxlib-internal; fresh process is clean).
   tpu              — real-chip kernel parities (tests/test_tpu_hardware.py)
                      compiled on the actual TPU via the axon tunnel; needs
                      the chip. ~5-10 min, mostly compiles.
@@ -52,20 +54,32 @@ def main() -> int:
         return 1
     print("[ok] all modules import")
 
-    cmd = [sys.executable, "-m", "pytest", str(ROOT / "tests"), "-q"]
-    env = None
+    pytest = [sys.executable, "-m", "pytest", "-q"]
     if args.tier == "quick":
-        cmd += ["-m", "not slow and not multiproc and not tpu"]
-    elif args.tier == "tpu":
+        cmd = pytest + [str(ROOT / "tests"),
+                        "-m", "not slow and not multiproc and not tpu"]
+        return subprocess.call(cmd + extra)
+    if args.tier == "tpu":
         # real-chip kernel parities (tests/test_tpu_hardware.py): keep the
         # axon backend (conftest skips its CPU forcing under FGT_TEST_TPU)
         # and select ONLY tpu-marked tests — the rest assume the CPU mesh.
         import os
 
         env = dict(os.environ, FGT_TEST_TPU="1")
-        cmd += ["-m", "tpu"]
-    cmd += extra
-    return subprocess.call(cmd, env=env)
+        cmd = pytest + [str(ROOT / "tests"), "-m", "tpu"]
+        return subprocess.call(cmd + extra, env=env)
+    # full tier: split into process-isolated chunks. A single pytest process
+    # running the whole matrix has segfaulted twice (r5) inside XLA:CPU's
+    # backend_compile after ~250 accumulated compiles, both times in
+    # test_quant_quality's dev-depth sampler loops (the suite's biggest CPU
+    # compiles); the module passes in a fresh process. Giving the heavy
+    # module its own interpreter keeps the matrix green and loses nothing.
+    quant = ROOT / "tests" / "test_quant_quality.py"
+    rc = subprocess.call(
+        pytest + [str(ROOT / "tests"), "-m", "not tpu",
+                  f"--ignore={quant}"] + extra)
+    rc2 = subprocess.call(pytest + [str(quant)] + extra)
+    return rc or rc2
 
 
 if __name__ == "__main__":
