@@ -79,6 +79,34 @@ def test_flash_streamed_hw():
     assert _nmax(ref, out) < 2e-2
 
 
+@pytest.mark.slow
+def test_flash_streamed_2048sq_regime_hw():
+    """The 2048²-generation regime on chip: 16640 tokens, streamed path at
+    its tuned BLK_Q=1024 default. The smoke script TIMES this configuration
+    (scripts/smoke_kernel_defaults.py T2) but never checks its numerics on
+    hardware. The reference is q-chunked (a 16640² monolithic einsum
+    reference never finished on chip — 1.1 GB logits; each 1040-row chunk
+    keeps the exact softmax math at ~69 MB)."""
+    from flux_generator_tpu.ops.attention import dot_product_attention
+    from flux_generator_tpu.ops.pallas.flash_attention import flash_attention
+
+    b, l, h, d = 1, 16640, 1, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, l, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, l, h, d), jnp.bfloat16)
+
+    @jax.jit
+    def ref_chunked(q, k, v):
+        qc = q.reshape(b, l // 1040, 1040, h, d).swapaxes(0, 1)
+        out = jax.lax.map(lambda qi: dot_product_attention(qi, k, v), qc)
+        return out.swapaxes(0, 1).reshape(b, l, h, d)
+
+    ref = ref_chunked(q, k, v)
+    out = jax.jit(flash_attention)(q, k, v)
+    assert _nmax(ref, out) < 3e-2
+
+
 def test_flash_rope_hw():
     """Fused-RoPE one-shot path on chip (the flux serving configuration)."""
     from flux_generator_tpu.ops.attention import dot_product_attention
